@@ -1,0 +1,147 @@
+"""Metric suite tests: hand-computed contingency tables, CRPS closed form,
+SSIM/PSNR cross-checks against independent numpy implementations, and the
+calc_metrics dict contract (keys match reference pipeline/metrics.py:86-133).
+"""
+
+import numpy as np
+import pytest
+
+from weatherforecastingtoolkit_tpu.metrics import calc_metrics, csi, hss
+from weatherforecastingtoolkit_tpu.ops.pooling import avg_pool2d, max_pool2d
+from weatherforecastingtoolkit_tpu.ops.ssim import psnr, ssim
+
+
+# ---------------------------------------------------------------- pooling
+def test_avg_pool_matches_numpy(rng):
+    x = rng.random((3, 8, 8)).astype(np.float32)
+    out = np.asarray(avg_pool2d(x, 4))
+    expected = x.reshape(3, 2, 4, 2, 4).mean(axis=(2, 4))
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_max_pool_matches_numpy(rng):
+    x = rng.random((2, 1, 16, 16)).astype(np.float32)
+    out = np.asarray(max_pool2d(x, 4))
+    expected = x.reshape(2, 1, 4, 4, 4, 4).max(axis=(3, 5))
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_pool_floor_semantics(rng):
+    # 10x10 with window 4 -> 2x2 (torch floor behavior)
+    x = rng.random((1, 10, 10)).astype(np.float32)
+    assert np.asarray(avg_pool2d(x, 4)).shape == (1, 2, 2)
+
+
+# ---------------------------------------------------------------- CSI / HSS
+def test_csi_hand_computed():
+    # 2x2 frame, threshold .5: pred hits {a}, target hits {a, b}
+    pred = np.array([[[[[0.9, 0.1], [0.2, 0.3]]]]], dtype=np.float32)  # B,T,C,H,W
+    target = np.array([[[[[0.8, 0.7], [0.1, 0.2]]]]], dtype=np.float32)
+    # tp=1, fn=1, fp=0 -> CSI = 1/2
+    assert csi(pred, target, 0.5) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_hss_hand_computed():
+    pred = np.array([[[[[0.9, 0.1], [0.2, 0.3]]]]], dtype=np.float32)
+    target = np.array([[[[[0.8, 0.7], [0.1, 0.2]]]]], dtype=np.float32)
+    # tp=1 fn=1 fp=0 tn=2 -> hss = 2(1*2-1*0)/((1+1)(1+2)+(1+0)(0+2)) = 4/8
+    assert hss(pred, target, 0.5) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_csi_perfect_forecast(rng):
+    x = rng.random((2, 3, 1, 16, 16)).astype(np.float32)
+    assert csi(x, x, 0.3) == pytest.approx(1.0, abs=1e-4)
+    assert hss(x, x, 0.3) == pytest.approx(1.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------- CRPS
+def test_crps_deterministic_closed_form(rng):
+    """With N=1 (std=0) CRPS reduces to ~|mean - target| (up to eps terms)."""
+    pred = rng.random((2, 4, 1, 8, 8)).astype(np.float32)
+    target = rng.random((2, 4, 1, 8, 8)).astype(np.float32)
+    m = calc_metrics(pred, target)
+    # std -> 0: val = (0+eps)*(huge*(2*Heaviside-1) ...) -> |mean-target|
+    expected = np.abs(np.clip(pred, 0, 1) - np.clip(target, 0, 1)).mean()
+    assert m["CRPS"] == pytest.approx(expected, abs=1e-4)
+
+
+def test_crps_ensemble_gaussian():
+    """Known gaussian CRPS: mean==target, std=1 -> crps = sigma*(2/sqrt(2pi) - 1/sqrt(pi))."""
+    from weatherforecastingtoolkit_tpu.metrics import _crps_gaussian
+    import jax.numpy as jnp
+    val = float(_crps_gaussian(jnp.zeros((4, 4)), jnp.ones((4, 4)), jnp.zeros((4, 4))))
+    expected = 2 / np.sqrt(2 * np.pi) - 1 / np.sqrt(np.pi)
+    assert val == pytest.approx(expected, abs=1e-4)
+
+
+# ---------------------------------------------------------------- SSIM / PSNR
+def _ssim_numpy_ref(a, b, size=11, sigma=1.5, k1=0.01, k2=0.03):
+    """Slow independent gaussian SSIM (valid conv) for cross-checking."""
+    from scipy.ndimage import correlate
+    coords = np.arange(size) - (size - 1) / 2
+    g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    k2d = np.outer(g, g)
+
+    def blur(x):
+        out = correlate(x, k2d, mode="constant")
+        pad = size // 2
+        return out[pad:-pad, pad:-pad]
+
+    c1, c2 = k1 ** 2, k2 ** 2
+    mu_a, mu_b = blur(a), blur(b)
+    va = blur(a * a) - mu_a ** 2
+    vb = blur(b * b) - mu_b ** 2
+    cov = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))
+    return s.mean()
+
+
+def test_ssim_identical_is_one(rng):
+    x = rng.random((2, 1, 32, 32)).astype(np.float32)
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ssim_matches_numpy_reference(rng):
+    a = rng.random((32, 32)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal((32, 32)).astype(np.float32), 0, 1)
+    ours = float(ssim(a[None, None], b[None, None]))
+    theirs = _ssim_numpy_ref(a.astype(np.float64), b.astype(np.float64))
+    assert ours == pytest.approx(theirs, abs=1e-4)
+
+
+def test_psnr_hand_computed():
+    a = np.zeros((1, 1, 8, 8), dtype=np.float32)
+    b = np.full((1, 1, 8, 8), 0.1, dtype=np.float32)
+    # mse = 0.01 -> psnr = 10*log10(1/0.01) = 20
+    assert float(psnr(a, b)) == pytest.approx(20.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------- calc_metrics contract
+EXPECTED_KEYS = (
+    ["CRPS", "CRPS_4", "CRPS_16", "SSIM", "PSNR"]
+    + [f"{m}_{i}{s}" for m in ("CSI", "HSS") for i in range(6) for s in ("", "_4", "_16")]
+    + ["paper_SSIM", "paper_PSNR", "paper_CRPS"]
+    + [f"paper_{m}_{p}" for p in ("POOL1", "POOL4", "POOL16")
+       for m in ("CSI_M", "CSI_181", "CSI_219", "HSS")]
+)
+
+
+def test_calc_metrics_keys_and_types(rng):
+    pred = rng.random((2, 5, 1, 64, 64)).astype(np.float32)
+    target = rng.random((2, 5, 1, 64, 64)).astype(np.float32)
+    m = calc_metrics(pred, target)
+    assert set(m.keys()) == set(EXPECTED_KEYS)
+    assert all(isinstance(v, float) for v in m.values())
+    # paper aggregates are consistent
+    assert m["paper_CSI_181_POOL1"] == m["CSI_4"]
+    assert m["paper_CSI_219_POOL16"] == m["CSI_5_16"]
+    assert m["paper_CSI_M_POOL4"] == pytest.approx(
+        np.mean([m[f"CSI_{i}_4"] for i in range(6)]), abs=1e-6)
+
+
+def test_calc_metrics_ensemble_axis(rng):
+    pred = rng.random((2, 3, 5, 1, 32, 32)).astype(np.float32)  # B,N,T,C,H,W
+    target = rng.random((2, 5, 1, 32, 32)).astype(np.float32)
+    m = calc_metrics(pred, target)
+    assert np.isfinite(m["CRPS"]) and np.isfinite(m["SSIM"])
