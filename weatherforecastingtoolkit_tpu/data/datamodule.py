@@ -1,0 +1,189 @@
+"""SEVIRDataModule: dataset presets + train/val/test splits + loaders.
+
+Capability parity with the reference's `SEVIRLightningDataModule`
+(reference pipeline/datasets/sevir/sevir.py:1070-1234): 'sevir' (384², 49
+frames @5 min) vs 'sevirlr' (128², 25 frames @10 min) presets, date-based
+train/test split at `train_test_split_date`, random train/val split by
+`val_ratio` with a fixed seed, and per-split loaders. The sevire-style 3-way
+date split (reference sevire/sevir.py:1240-1245) is available via
+`val_split_date`.
+
+Download helpers are stubs that raise with instructions (this image has no
+egress; the reference shelled out to `aws s3 cp`, sevir/sevir.py:930-977).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .catalog import build_event_index
+from .constants import DATASET_PRESETS
+from .dataset import SEVIRDataset
+from .prefetch import BatchLoader
+
+
+class SubsetDataset:
+    """Index-remapped view of a dataset (torch random_split analog)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+    def set_epoch(self, epoch):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+
+def download_sevir(save_dir: str) -> None:
+    raise RuntimeError(
+        "SEVIR auto-download is unavailable (no egress). Fetch with "
+        "`aws s3 cp --no-sign-request --recursive s3://sevir ...` and point "
+        "sevir_dir at the result.")
+
+
+def download_sevirlr(save_dir: str) -> None:
+    raise RuntimeError(
+        "SEVIR-LR auto-download is unavailable (no egress). Fetch "
+        "https://deep-earth.s3.amazonaws.com/datasets/sevir_lr.zip and unzip "
+        "into sevir_dir.")
+
+
+class SEVIRDataModule:
+    def __init__(
+        self,
+        dataset_name: str = "sevirlr",
+        sevir_dir: Optional[str] = None,
+        seq_len: int = 25,
+        stride: int = 12,
+        layout: str = "NTCHW",
+        batch_size: int = 1,
+        num_workers: int = 4,
+        seed: int = 0,
+        val_ratio: float = 0.1,
+        aug_mode: str = "0",
+        rescale_method: str = "01",
+        data_types: Sequence[str] = ("vil",),
+        start_date: Optional[Tuple[int, ...]] = None,
+        train_test_split_date: Optional[Tuple[int, ...]] = (2019, 6, 1),
+        val_split_date: Optional[Tuple[int, ...]] = None,
+        end_date: Optional[Tuple[int, ...]] = None,
+        num_shard: int = 1,
+        rank: int = 0,
+        catalog_path: Optional[str] = None,
+        raw_data_dir: Optional[str] = None,
+        shuffle_train: bool = True,
+    ):
+        if dataset_name not in DATASET_PRESETS:
+            raise ValueError(
+                f"Wrong dataset name {dataset_name}. Must be one of {tuple(DATASET_PRESETS)}.")
+        preset = DATASET_PRESETS[dataset_name]
+        if layout[0] != "N":
+            raise ValueError("layout must start with 'N' (batch axis leads)")
+        self.dataset_name = dataset_name
+        self.sevir_dir = sevir_dir
+        self.catalog_path = catalog_path or (os.path.join(sevir_dir, "CATALOG.csv")
+                                             if sevir_dir else None)
+        self.raw_data_dir = raw_data_dir or (os.path.join(sevir_dir, "data")
+                                             if sevir_dir else None)
+        self.raw_seq_len = preset["raw_seq_len"]
+        self.interval_real_time = preset["interval_real_time"]
+        self.img_height = preset["img_height"]
+        self.img_width = preset["img_width"]
+        self.seq_len = seq_len
+        self.stride = stride
+        self.layout = layout
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.seed = seed
+        self.val_ratio = val_ratio
+        self.aug_mode = aug_mode
+        self.rescale_method = rescale_method
+        self.data_types = tuple(data_types)
+        self.num_shard = num_shard
+        self.rank = rank
+        self.shuffle_train = shuffle_train
+
+        def _dt(v):
+            return datetime.datetime(*v) if v is not None else None
+
+        self.start_date = _dt(start_date)
+        self.train_test_split_date = _dt(train_test_split_date)
+        self.val_split_date = _dt(val_split_date)
+        self.end_date = _dt(end_date)
+        self.sevir_train = self.sevir_val = self.sevir_test = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def prepare_data(self) -> None:
+        if not (self.catalog_path and os.path.exists(self.catalog_path)):
+            raise FileNotFoundError(
+                f"CATALOG.csv not found at {self.catalog_path}; see "
+                "download_sevir/download_sevirlr for instructions.")
+        if not os.path.exists(self.raw_data_dir):
+            raise FileNotFoundError(f"SEVIR data dir not found: {self.raw_data_dir}")
+
+    def _make(self, start, end, aug_mode, shuffle):
+        return SEVIRDataset(
+            catalog=self.catalog_path, data_dir=self.raw_data_dir,
+            data_types=self.data_types, seq_len=self.seq_len,
+            raw_seq_len=self.raw_seq_len, stride=self.stride, layout=self.layout,
+            num_shard=self.num_shard, rank=self.rank, split_mode="uneven",
+            start_date=start, end_date=end, shuffle=shuffle,
+            shuffle_seed=self.seed + 1, rescale_method=self.rescale_method,
+            aug_mode=aug_mode, aug_seed=self.seed)
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if stage in (None, "fit"):
+            if self.val_split_date is not None:
+                # sevire-style 3-way date split
+                self.sevir_train = self._make(self.start_date, self.val_split_date,
+                                              self.aug_mode, True)
+                self.sevir_val = self._make(self.val_split_date,
+                                            self.train_test_split_date, "0", False)
+            else:
+                full = self._make(self.start_date, self.train_test_split_date,
+                                  self.aug_mode, True)
+                n = len(full)
+                rng = np.random.default_rng(self.seed)
+                perm = rng.permutation(n)
+                n_val = int(round(n * self.val_ratio))
+                self.sevir_val = SubsetDataset(full, perm[:n_val])
+                self.sevir_train = SubsetDataset(full, perm[n_val:])
+        if stage in (None, "test"):
+            self.sevir_test = self._make(self.train_test_split_date, self.end_date,
+                                         "0", False)
+
+    # -- loaders -------------------------------------------------------------
+    def train_loader(self) -> BatchLoader:
+        return BatchLoader(self.sevir_train, self.batch_size,
+                           shuffle=self.shuffle_train, seed=self.seed,
+                           num_workers=self.num_workers)
+
+    def val_loader(self) -> BatchLoader:
+        return BatchLoader(self.sevir_val, self.batch_size, shuffle=False,
+                           num_workers=self.num_workers)
+
+    def test_loader(self) -> BatchLoader:
+        return BatchLoader(self.sevir_test, self.batch_size, shuffle=False,
+                           num_workers=self.num_workers)
+
+    @property
+    def num_train_samples(self):
+        return len(self.sevir_train)
+
+    @property
+    def num_val_samples(self):
+        return len(self.sevir_val)
+
+    @property
+    def num_test_samples(self):
+        return len(self.sevir_test)
