@@ -1,0 +1,133 @@
+"""GAN stack tests: discriminator shapes/param parity, loss functions,
+adaptive weight, and a 3-step end-to-end VAE-GAN training run (incl. the
+disc_start gate behavior)."""
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+from weatherforecastingtoolkit_tpu.models.losses.gan import (NLayerDiscriminator,
+                                                             adaptive_weight,
+                                                             adopt_weight,
+                                                             hinge_d_loss,
+                                                             vanilla_d_loss)
+from weatherforecastingtoolkit_tpu.training.gan import init_gan_state, make_vae_gan_task
+from weatherforecastingtoolkit_tpu.training.trainer import Trainer
+from weatherforecastingtoolkit_tpu.utils.config import Config
+
+
+def test_discriminator_shapes(rng):
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=3)
+    x = jnp.asarray(rng.random((2, 1, 64, 64)).astype(np.float32))
+    params = disc.init(jax.random.key(0), x)
+    logits = disc.apply(params, x)
+    assert logits.shape[0] == 2 and logits.shape[1] == 1
+    assert logits.shape[2] < 64  # patch map, downsampled
+
+
+def test_discriminator_output_matches_torch_geometry(rng):
+    """Same patch-map spatial size as the torch reference discriminator."""
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location(
+        "ref_disc", "/root/reference/pipeline/models/autoencoderkl/losses/model.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    tdisc = ref.NLayerDiscriminator(input_nc=1, ndf=8, n_layers=3).eval()
+    with torch.no_grad():
+        t_out = tdisc(torch.zeros(1, 1, 64, 64))
+
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=3)
+    x = jnp.zeros((1, 1, 64, 64))
+    logits = disc.apply(disc.init(jax.random.key(0), x), x)
+    assert tuple(logits.shape) == tuple(t_out.shape)
+
+
+def test_hinge_and_vanilla_losses():
+    real = jnp.asarray([2.0, 2.0])
+    fake = jnp.asarray([-2.0, -2.0])
+    # perfectly separated -> hinge loss 0
+    assert float(hinge_d_loss(real, fake)) == pytest.approx(0.0)
+    # symmetric logits -> vanilla = softplus(-2)
+    expected = float(np.log1p(np.exp(-2.0)))
+    assert float(vanilla_d_loss(real, fake)) == pytest.approx(expected, rel=1e-5)
+
+
+def test_adopt_weight_gate():
+    assert float(adopt_weight(1.0, jnp.asarray(5), threshold=10)) == 0.0
+    assert float(adopt_weight(1.0, jnp.asarray(10), threshold=10)) == 1.0
+
+
+def test_adaptive_weight_formula(rng):
+    g_rec = jnp.asarray(rng.random((4, 4)).astype(np.float32))
+    g_adv = jnp.asarray(rng.random((4, 4)).astype(np.float32))
+    w = float(adaptive_weight(g_rec, g_adv, disc_weight=2.0))
+    expected = 2.0 * np.linalg.norm(np.asarray(g_rec).ravel()) / (
+        np.linalg.norm(np.asarray(g_adv).ravel()) + 1e-4)
+    assert w == pytest.approx(expected, rel=1e-5)
+
+
+@pytest.fixture(scope="module")
+def gan_setup(tmp_path_factory):
+    gen = PosAwareAE(enc_channels=(8, 16), dec_channels=(16, 8, 8),
+                     num_blocks=1, latent_hw=8, latent_channels=4, latent_dim=32)
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=2)
+    disc_tx = optax.adam(1e-4)
+
+    def generator_apply(params, frames, rng):
+        recon, z = gen.apply(params, frames)
+        return recon, None
+
+    task = make_vae_gan_task(
+        name="gan_test",
+        generator_apply=generator_apply,
+        gen_init=lambda rng: gen.init(rng, jnp.zeros((1, 1, 32, 32))),
+        disc_apply=lambda p, f: disc.apply(p, f),
+        disc_init=lambda rng: disc.init(rng, jnp.zeros((1, 1, 32, 32))),
+        disc_tx=disc_tx,
+        last_layer_path=("params", "dec_out", "kernel"),
+        disc_start=2, disc_weight=1.0)
+
+    cfg = Config({
+        "experiment_name": "gan_test",
+        "experiment_path": str(tmp_path_factory.mktemp("gan_exp")),
+        "seed": 0,
+        "optim": {"lr": 1e-4, "schedule": "constant"},
+        "trainer": {"max_epochs": 1, "total_train_steps": 4,
+                    "save_every_n_steps": 10.0},
+        "logging": {"log_every_n_steps": 1, "val_every_n": 10.0},
+    })
+    return cfg, task
+
+
+def test_gan_step_end_to_end(gan_setup, rng):
+    cfg, task = gan_setup
+    trainer = Trainer(cfg, task)
+    state = init_gan_state(trainer, task)
+
+    batch = {"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+    d0 = jax.tree_util.tree_leaves(state.params["disc"])[0].copy()
+    g0 = jax.tree_util.tree_leaves(state.params["gen"])[0].copy()
+
+    # step 0 (< disc_start=2): generator trains, disc frozen, d_weight inert
+    state, aux = trainer._train_step(state, batch)
+    assert float(aux["disc_factor"]) == 0.0
+    d1 = jax.tree_util.tree_leaves(state.params["disc"])[0]
+    g1 = jax.tree_util.tree_leaves(state.params["gen"])[0]
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))  # disc gated
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))         # gen moved
+
+    # advance past disc_start: both train
+    state, aux = trainer._train_step(state, batch)
+    state, aux = trainer._train_step(state, batch)
+    assert float(aux["disc_factor"]) == 1.0
+    assert float(aux["d_weight"]) > 0.0
+    d2 = jax.tree_util.tree_leaves(state.params["disc"])[0]
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))          # disc moved
+    assert np.isfinite(float(aux["loss"]))
+    assert np.isfinite(float(aux["disc_loss"]))
+    trainer.close()

@@ -1,0 +1,176 @@
+"""Training harness tests: schedules, checkpoint resume + corruption tolerance,
+and a tiny end-to-end reconstruction train run on the synthetic fixture."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherforecastingtoolkit_tpu.data.datamodule import SEVIRDataModule
+from weatherforecastingtoolkit_tpu.data.synthetic import make_synthetic_sevir
+from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+from weatherforecastingtoolkit_tpu.training.checkpoint import (CheckpointManager,
+                                                               find_latest_ckpt,
+                                                               run_dir_for)
+from weatherforecastingtoolkit_tpu.training.optim import (cosine_warmup_schedule,
+                                                          lr_range_test,
+                                                          one_cycle_schedule)
+from weatherforecastingtoolkit_tpu.training.tasks import reconstruction_task
+from weatherforecastingtoolkit_tpu.training.trainer import (Trainer, derive_steps,
+                                                            run_with_retry)
+from weatherforecastingtoolkit_tpu.utils.config import Config
+
+
+# ---------------------------------------------------------------- schedules
+def test_cosine_warmup_schedule_shape():
+    sched = cosine_warmup_schedule(1e-4, 1e-3, 1e-6, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(100)) == pytest.approx(1e-6, abs=1e-7)
+    # monotone decreasing after warmup
+    vals = [float(sched(s)) for s in range(10, 101, 10)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_one_cycle_schedule_shape():
+    sched = one_cycle_schedule(4e-5, 1e-3, 4e-7, total_steps=100, rampup_steps=30)
+    assert float(sched(30)) == pytest.approx(1e-3, rel=1e-2)
+    assert float(sched(0)) < float(sched(30))
+    assert float(sched(99)) < 1e-5
+
+
+def test_lr_range_test(tmp_path):
+    # quadratic bowl: loss decreases then explodes with lr
+    def loss_at_lr(lr):
+        return (lr - 0.01) ** 2 * 1e4 + 0.1
+
+    lrs, losses = lr_range_test(loss_at_lr, 1e-4, 1.0, num_iter=30,
+                                output_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "lr_range_test.png")
+    assert len(lrs) == len(losses) and len(lrs) <= 30
+
+
+# ---------------------------------------------------------------- checkpointing
+def test_checkpoint_roundtrip_and_corruption(tmp_path):
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.asarray(7, np.int32)}
+    run_dir = run_dir_for(str(tmp_path), "exp", "abc")
+    mgr = CheckpointManager(run_dir)
+    mgr.save(7, state)
+    mgr.save(14, {"params": {"w": state["params"]["w"] * 2}, "step": np.asarray(14, np.int32)})
+    mgr.close()
+
+    # corrupt the newest checkpoint
+    import glob, shutil
+    newest = os.path.join(run_dir, "checkpoints", "14")
+    for f in glob.glob(os.path.join(newest, "**", "*"), recursive=True):
+        if os.path.isfile(f):
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+
+    restored, run_id, step = find_latest_ckpt(str(tmp_path), "exp", state)
+    assert run_id == "abc"
+    assert step == 7  # fell back past the corrupted step-14
+    np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+
+
+def test_find_latest_no_ckpt(tmp_path):
+    out = find_latest_ckpt(str(tmp_path), "nothing", {"a": np.zeros(1)})
+    assert out == (None, None, None)
+
+
+# ---------------------------------------------------------------- end-to-end
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sevir_train")
+    make_synthetic_sevir(str(root), num_events=6, height=32, width=32,
+                         raw_seq_len=25)
+    return Config({
+        "project_name": "test", "experiment_name": "tiny_ae",
+        "experiment_path": str(tmp_path_factory.mktemp("exp")),
+        "seed": 0,
+        "sevir_root": str(root),
+        "optim": {"lr": 1e-3, "weight_decay": 0.0, "schedule": "cosine_warmup",
+                  "grad_clip": 1.0},
+        "cosine_warmup": {"start_lr": 1e-4, "peak_lr": 1e-3, "final_lr": 1e-6,
+                          "warmup_ratio": 0.2},
+        "dataset": {"batch_size": 2, "seq_len": 13, "stride": 12},
+        "trainer": {"max_epochs": 2, "accumulate_grad_batches": 1,
+                    "save_every_n_steps": 0.5, "limit_train_batches": None,
+                    "limit_val_batches": None, "limit_test_batches": None,
+                    "total_train_steps": 8},
+        "logging": {"log_every_n_steps": 2, "val_every_n": 10.0},
+    })
+
+
+def _tiny_model():
+    return PosAwareAE(enc_channels=(8, 16), dec_channels=(16, 8, 8),
+                      num_blocks=1, latent_hw=8, latent_channels=4,
+                      latent_dim=32)
+
+
+def test_derive_steps():
+    cfg = Config({"trainer": {"max_epochs": 4, "accumulate_grad_batches": 2,
+                              "limit_train_batches": 0.5,
+                              "limit_val_batches": None,
+                              "limit_test_batches": None}})
+    out = derive_steps(cfg, n_train_batches=100, n_val_batches=10, n_test_batches=10)
+    assert out.trainer.total_train_steps == 100  # 100*4/2 * 0.5
+    assert out.trainer.total_val_steps == 20
+
+
+def test_train_loop_end_to_end(tiny_cfg):
+    dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=tiny_cfg.sevir_root,
+                         seq_len=13, stride=12, layout="NTCHW", batch_size=2,
+                         num_workers=2, train_test_split_date=(2019, 1, 25),
+                         val_ratio=0.3)
+    dm.prepare_data(); dm.setup()
+    task = reconstruction_task(_tiny_model(), loss="l1")
+    trainer = Trainer(tiny_cfg, task)
+    state = trainer.init_state()
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state = trainer.fit(dm.train_loader(), dm.val_loader())
+    assert int(state.step) >= 4  # trained some steps
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))  # params moved
+    # checkpoints exist
+    assert trainer.ckpt.latest_step() is not None
+    # metrics were logged
+    from weatherforecastingtoolkit_tpu.training.logging import read_jsonl_metrics
+    recs = read_jsonl_metrics(trainer.run_dir)
+    assert any("train_loss" in r for r in recs)
+    trainer.close()
+
+    # ---- resume path: new trainer picks up the checkpoint
+    trainer2 = Trainer(tiny_cfg, task, resume=True)
+    state2 = trainer2.init_state()
+    assert int(state2.step) == int(state.step)
+    trainer2.close()
+
+
+def test_validate_produces_metric_dict(tiny_cfg):
+    dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=tiny_cfg.sevir_root,
+                         seq_len=13, stride=12, layout="NTCHW", batch_size=2,
+                         num_workers=2, train_test_split_date=(2019, 1, 25),
+                         val_ratio=0.3)
+    dm.prepare_data(); dm.setup()
+    task = reconstruction_task(_tiny_model(), loss="l1")
+    trainer = Trainer(tiny_cfg, task)
+    state = trainer.init_state()
+    out = trainer.validate(state, dm.val_loader(), step=0, max_batches=1)
+    assert "loss" in out and "SSIM" in out and "paper_CSI_M_POOL1" in out
+    trainer.close()
+
+
+def test_run_with_retry():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+
+    run_with_retry(flaky, backoff_s=0.0)
+    assert calls["n"] == 3

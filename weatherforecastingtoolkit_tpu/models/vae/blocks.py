@@ -1,0 +1,160 @@
+"""Diffusers-style VAE building blocks (flax.linen, NHWC).
+
+Capability parity with the reference's block set:
+  * ResnetBlock2D        — reference autoencoderkl/resnet.py:367-497
+    (GroupNorm(32, eps 1e-6) + SiLU + 3x3 conv x2, 1x1 shortcut on channel change)
+  * Downsample2D         — resnet.py:123-192 (stride-2 conv, asymmetric (0,1)
+    padding when downsample_padding=0, as the VAE Encoder configures it)
+  * Upsample2D           — resnet.py:77-121 (2x nearest + 3x3 conv)
+  * AttentionBlock       — attention.py:48-189 (GN(32, eps 1e-5), q/k/v linear,
+    single-head default, residual; fused jax.nn.dot_product_attention replaces
+    the reference's baddbmm + xformers branches)
+  * DownEncoderBlock2D / UpDecoderBlock2D / UNetMidBlock2D
+                         — unet_2d_blocks.py:20-278
+
+All blocks are time-embedding-free (the VAE never passes temb; reference
+vae.py:47,117 sets temb_channels=None).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: Optional[int] = None
+    groups: int = 32
+    eps: float = 1e-6
+    output_scale_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        h = nn.GroupNorm(num_groups=min(self.groups, in_ch), epsilon=self.eps,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=min(self.groups, out_ch), epsilon=self.eps,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, name="conv2")(h)
+        if in_ch != out_ch:
+            x = nn.Conv(out_ch, (1, 1), name="conv_shortcut")(x)
+        return (x + h) / self.output_scale_factor
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 3x3 conv with the VAE's asymmetric (0, 1) edge padding."""
+
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_ch = self.out_channels or x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(out_ch, (3, 3), strides=2, padding="VALID", name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """2x nearest-neighbor upsample + 3x3 conv."""
+
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_ch = self.out_channels or x.shape[-1]
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        return nn.Conv(out_ch, (3, 3), padding=1, name="conv")(x)
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over the HxW grid with a residual connection."""
+
+    num_head_channels: Optional[int] = None
+    norm_num_groups: int = 32
+    eps: float = 1e-5
+    rescale_output_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        heads = c // self.num_head_channels if self.num_head_channels else 1
+        residual = x
+        hidden = nn.GroupNorm(num_groups=min(self.norm_num_groups, c),
+                              epsilon=self.eps, name="group_norm")(x)
+        tokens = hidden.reshape(b, h * w, c)
+        q = nn.Dense(c, name="query")(tokens)
+        k = nn.Dense(c, name="key")(tokens)
+        v = nn.Dense(c, name="value")(tokens)
+        hd = c // heads
+
+        def split(t):
+            return t.reshape(b, h * w, heads, hd)
+
+        out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        out = out.reshape(b, h * w, c)
+        out = nn.Dense(c, name="proj_attn")(out)
+        out = out.reshape(b, h, w, c)
+        return (out + residual) / self.rescale_output_factor
+
+
+class DownEncoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 1
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-6
+    add_downsample: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, self.resnet_groups,
+                              self.resnet_eps, name=f"resnets_{i}")(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
+        return x
+
+
+class UpDecoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 1
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-6
+    add_upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, self.resnet_groups,
+                              self.resnet_eps, name=f"resnets_{i}")(x)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
+        return x
+
+
+class UNetMidBlock2D(nn.Module):
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-6
+    attn_num_head_channels: Optional[int] = None
+    output_scale_factor: float = 1.0
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ch = x.shape[-1]
+        x = ResnetBlock2D(ch, self.resnet_groups, self.resnet_eps,
+                          self.output_scale_factor, name="resnets_0")(x)
+        for i in range(self.num_layers):
+            x = AttentionBlock(self.attn_num_head_channels, self.resnet_groups,
+                               rescale_output_factor=self.output_scale_factor,
+                               name=f"attentions_{i}")(x)
+            x = ResnetBlock2D(ch, self.resnet_groups, self.resnet_eps,
+                              self.output_scale_factor,
+                              name=f"resnets_{i + 1}")(x)
+        return x

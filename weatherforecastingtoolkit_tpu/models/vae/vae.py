@@ -1,0 +1,66 @@
+"""VAE Encoder / Decoder stacks (reference autoencoderkl/vae.py:9-166)."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import DownEncoderBlock2D, UNetMidBlock2D, UpDecoderBlock2D
+
+
+class Encoder(nn.Module):
+    """conv_in -> N DownEncoderBlocks -> mid (resnet/attn/resnet) ->
+    GroupNorm/SiLU/conv_out. NHWC; emits 2*out_channels when double_z."""
+
+    out_channels: int = 3
+    block_out_channels: Sequence[int] = (64,)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    double_z: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in")(x)
+        n = len(self.block_out_channels)
+        for i, ch in enumerate(self.block_out_channels):
+            x = DownEncoderBlock2D(
+                out_channels=ch, num_layers=self.layers_per_block,
+                resnet_groups=self.norm_num_groups,
+                add_downsample=(i != n - 1), name=f"down_blocks_{i}")(x)
+        x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
+                           name="mid_block")(x)
+        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        out_ch = 2 * self.out_channels if self.double_z else self.out_channels
+        return nn.Conv(out_ch, (3, 3), padding=1, name="conv_out")(x)
+
+
+class Decoder(nn.Module):
+    """conv_in -> mid -> N UpDecoderBlocks (reversed channels) ->
+    GroupNorm/SiLU/conv_out."""
+
+    out_channels: int = 3
+    block_out_channels: Sequence[int] = (64,)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        rev: Tuple[int, ...] = tuple(reversed(self.block_out_channels))
+        x = nn.Conv(rev[0], (3, 3), padding=1, name="conv_in")(z)
+        x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
+                           name="mid_block")(x)
+        n = len(rev)
+        for i, ch in enumerate(rev):
+            x = UpDecoderBlock2D(
+                out_channels=ch, num_layers=self.layers_per_block + 1,
+                resnet_groups=self.norm_num_groups,
+                add_upsample=(i != n - 1), name=f"up_blocks_{i}")(x)
+        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out")(x)

@@ -1,0 +1,126 @@
+"""Checkpoint save/restore with corruption-tolerant latest-checkpoint discovery.
+
+Capability parity with the reference's checkpoint stack:
+  * periodic + save_last checkpoints into the run dir
+    (reference pipeline/helpers.py:237-244 `modelcheckpointcallback`)
+  * `find_latest_ckpt`: scan all run dirs, newest first, TRY-RESTORE each and
+    skip corrupt ones (reference pipeline/helpers.py:268-301)
+  * external torch checkpoint ingestion with key-prefix surgery
+    (reference pipeline/helpers.py:14-32 `load_checkpoint_cascast`)
+
+Storage is orbax (async-capable, TPU-native sharded arrays supported); the
+run-dir layout mirrors the reference's `outputs/<exp>/runs/run-<id>/checkpoints`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def run_dir_for(experiment_path: str, experiment_name: str, run_id: str) -> str:
+    return os.path.join(experiment_path, "outputs", experiment_name, "runs",
+                        f"run-{run_id}")
+
+
+def new_run_id() -> str:
+    return f"{int(time.time())}-{os.getpid()}"
+
+
+class CheckpointManager:
+    """Thin orbax wrapper for one run: save(step, state), restore(step|None)."""
+
+    def __init__(self, run_dir: str, max_to_keep: int = 5):
+        self.ckpt_dir = os.path.abspath(os.path.join(run_dir, "checkpoints"))
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True))
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints in {self.ckpt_dir}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    def close(self):
+        self._mgr.close()
+
+
+def find_latest_ckpt(experiment_path: str, experiment_name: str, target: Any
+                     ) -> Tuple[Optional[Any], Optional[str], Optional[int]]:
+    """Scan every run's checkpoints newest-first; return the first one that
+    actually restores: (state, run_id, step). Corrupt checkpoints are skipped
+    (the reference's try-load tolerance, pipeline/helpers.py:294-299)."""
+    base = os.path.join(experiment_path, "outputs", experiment_name, "runs")
+    if not os.path.isdir(base):
+        return None, None, None
+
+    candidates = []  # (mtime, run_id, run_dir, step)
+    for d in os.listdir(base):
+        m = re.match(r"run-(.+)", d)
+        ckpt_root = os.path.join(base, d, "checkpoints")
+        if not (m and os.path.isdir(ckpt_root)):
+            continue
+        for item in os.listdir(ckpt_root):
+            step_dir = os.path.join(ckpt_root, item)
+            if item.isdigit() and os.path.isdir(step_dir):
+                candidates.append((os.path.getmtime(step_dir), m.group(1),
+                                   os.path.join(base, d), int(item)))
+    candidates.sort(reverse=True)
+
+    for _, run_id, run_dir, step in candidates:
+        try:
+            mgr = CheckpointManager(run_dir)
+            state = mgr.restore(target, step=step)
+            mgr.close()
+            return state, run_id, step
+        except Exception:
+            continue
+    return None, None, None
+
+
+def strip_prefixes(key: str, prefixes=("module.", "net.")) -> str:
+    for p in prefixes:
+        if key.startswith(p):
+            key = key[len(p):]
+    return key
+
+
+def load_torch_state_dict(path: str, submodel: Optional[str] = None) -> dict:
+    """Read a torch checkpoint into {clean_key: np.ndarray}.
+
+    Mirrors `load_checkpoint_cascast` (reference pipeline/helpers.py:14-32):
+    optionally select checkpoint['model'][submodel], then strip module./net.
+    prefixes. Tensors come back as numpy — conversion to model-specific JAX
+    layouts (OIHW->HWIO etc.) is each model family's `from_torch` job.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and submodel is not None and "model" in ckpt:
+        ckpt = ckpt["model"][submodel]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    out = {}
+    for k, v in ckpt.items():
+        out[strip_prefixes(str(k))] = np.asarray(v.detach().cpu().numpy()) \
+            if hasattr(v, "detach") else np.asarray(v)
+    return out

@@ -1,0 +1,194 @@
+"""Two-optimizer adversarial training as a single jitted step.
+
+Capability parity with the reference's GAN loops:
+  * manual two-optimizer Lightning loop with toggle_optimizer /
+    manual_backward / clip / step (reference experiments/ae_v2_2/train.py:126-159)
+  * `Loss` (L1 + LPIPS + adaptive-weight hinge GAN, ae_v2_2/train.py:31-100)
+  * `LPIPSWithDiscriminator` (NLL w/ learnable logvar + KL + adaptive-weight
+    GAN, reference autoencoderkl/losses/contperceptual.py:33-169)
+
+TPU-first design: ONE compiled program per step does
+  backward(rec_loss) -> backward(g_loss) -> combine with the adaptive weight
+  -> generator update -> backward(d_loss) -> gated discriminator update.
+The adaptive weight needs ∇rec and ∇adv separately anyway, so combining them
+linearly afterwards costs nothing extra vs the reference's
+2x autograd.grad + full backward. The disc-start gate is jnp.where masking of
+the update (jit-safe), not a python branch: before `disc_start` the generator
+sees only the reconstruction objective and the discriminator's update is
+zeroed, matching `adopt_weight` semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.losses.gan import adaptive_weight, hinge_d_loss, vanilla_d_loss
+from .trainer import Task, TrainState
+
+
+def leaf_by_path(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def make_vae_gan_task(
+    *,
+    name: str,
+    generator_apply: Callable,      # (gen_params, frames, rng) -> (recon, kl or None)
+    gen_init: Callable,             # rng -> gen_params
+    disc_apply: Callable,           # (disc_params, frames) -> logits
+    disc_init: Callable,            # rng -> disc_params
+    disc_tx: optax.GradientTransformation,
+    last_layer_path: Tuple[str, ...],
+    eval_apply: Optional[Callable] = None,  # (gen_params, frames) -> recon
+    pixel_loss: str = "l1",
+    perceptual_apply: Optional[Callable] = None,  # (a, b) -> (B,1,1,1) dists
+    perceptual_weight: float = 1.0,
+    recon_weight: float = 1.0,
+    kl_weight: Optional[float] = None,   # None -> no KL / no learnable logvar
+    disc_weight: float = 1.0,
+    disc_factor: float = 1.0,
+    disc_start: int = 0,
+    disc_loss: str = "hinge",
+    key: str = "vil",
+) -> Task:
+    """Build a Task whose custom_train_step runs the full VAE-GAN update."""
+    d_loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
+    use_kl = kl_weight is not None
+
+    from .tasks import dequantize, pixel_loss as make_pixel_loss
+    px = make_pixel_loss(pixel_loss)
+
+    def _frames(x):
+        b, t = x.shape[:2]
+        return x.reshape((b * t,) + x.shape[2:])
+
+    def init_params(rng):
+        g_rng, d_rng = jax.random.split(rng)
+        params = {"gen": gen_init(g_rng), "disc": disc_init(d_rng)}
+        if use_kl:
+            params["logvar"] = jnp.zeros(())
+        return params
+
+    # ---- losses --------------------------------------------------------------
+    def rec_loss_fn(gen_params, logvar, frames, rng):
+        recon, kl = generator_apply(gen_params, frames, rng)
+        rec = recon_weight * px(recon, frames)
+        if perceptual_apply is not None and perceptual_weight > 0:
+            a = jnp.repeat(recon, 3, axis=1) if recon.shape[1] == 1 else recon
+            b = jnp.repeat(frames, 3, axis=1) if frames.shape[1] == 1 else frames
+            rec = rec + perceptual_weight * jnp.mean(perceptual_apply(a, b))
+        aux = {"rec_loss": rec}
+        if use_kl:
+            nll = rec / jnp.exp(logvar) + logvar
+            kl_term = jnp.mean(kl) if kl is not None else 0.0
+            total = nll + kl_weight * kl_term
+            aux.update({"nll_loss": nll, "kl_loss": kl_term, "logvar": logvar})
+        else:
+            total = rec
+        return total, (recon, aux)
+
+    def g_adv_loss_fn(gen_params, frames, disc_params, rng):
+        recon, _ = generator_apply(gen_params, frames, rng)
+        logits_fake = disc_apply(disc_params, recon)
+        return -jnp.mean(logits_fake)
+
+    def d_loss_full(disc_params, frames, recon):
+        logits_real = disc_apply(disc_params, jax.lax.stop_gradient(frames))
+        logits_fake = disc_apply(disc_params, jax.lax.stop_gradient(recon))
+        return d_loss_fn(logits_real, logits_fake), (jnp.mean(logits_real),
+                                                     jnp.mean(logits_fake))
+
+    # ---- the single jitted two-optimizer step ----------------------------------
+    def custom_train_step(state: TrainState, batch, tx):
+        rng, g_rng, a_rng = jax.random.split(state.rng, 3)
+        frames = _frames(dequantize(batch[key]))
+        params = state.params
+        logvar = params.get("logvar", jnp.zeros(()))
+
+        # backward 1: reconstruction objective (w.r.t. gen [+ logvar])
+        (rec_total, (recon, aux)), rec_grads = jax.value_and_grad(
+            rec_loss_fn, argnums=(0, 1) if use_kl else 0, has_aux=True)(
+                params["gen"], logvar, frames, g_rng)
+        if use_kl:
+            rec_gen_grads, logvar_grad = rec_grads
+        else:
+            rec_gen_grads, logvar_grad = rec_grads, None
+
+        # backward 2: adversarial objective (same rng -> same recon path)
+        g_loss, adv_gen_grads = jax.value_and_grad(g_adv_loss_fn)(
+            params["gen"], frames, params["disc"], g_rng)
+
+        # adaptive weight from the last decoder layer's two gradient leaves
+        d_w = adaptive_weight(leaf_by_path(rec_gen_grads, last_layer_path),
+                              leaf_by_path(adv_gen_grads, last_layer_path),
+                              disc_weight)
+        gate = jnp.where(state.step >= disc_start, disc_factor, 0.0)
+        gen_grads = jax.tree_util.tree_map(
+            lambda gr, ga: gr + d_w * gate * ga, rec_gen_grads, adv_gen_grads)
+
+        grads = {"gen": gen_grads,
+                 "disc": jax.tree_util.tree_map(jnp.zeros_like, params["disc"])}
+        if use_kl:
+            grads["logvar"] = logvar_grad
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        # mask out the (zero-grad) disc slot so weight decay can't leak in
+        updates["disc"] = jax.tree_util.tree_map(jnp.zeros_like, updates["disc"])
+        new_params = optax.apply_updates(params, updates)
+
+        # backward 3: discriminator on detached recon, gated by disc_start
+        (d_loss, (lr_, lf_)), d_grads = jax.value_and_grad(
+            d_loss_full, has_aux=True)(params["disc"], frames, recon)
+        d_updates, d_opt_state = disc_tx.update(
+            d_grads, state.extra["disc_opt_state"], params["disc"])
+        d_gate = jnp.where(state.step >= disc_start, 1.0, 0.0)
+        d_updates = jax.tree_util.tree_map(lambda u: u * d_gate, d_updates)
+        new_params["disc"] = optax.apply_updates(new_params["disc"], d_updates)
+
+        aux = dict(aux)
+        aux.update({"loss": rec_total + d_w * gate * g_loss, "g_loss": g_loss,
+                    "d_weight": d_w, "disc_loss": d_loss,
+                    "logits_real": lr_, "logits_fake": lf_,
+                    "disc_factor": gate,
+                    "grad_norm": optax.global_norm(gen_grads)})
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=opt_state,
+            rng=rng, extra={"disc_opt_state": d_opt_state})
+        return new_state, aux
+
+    def eval_fn(params, batch, rng):
+        x = dequantize(batch[key])
+        b, t = x.shape[:2]
+        apply = eval_apply or (lambda p, f: generator_apply(p, f, rng)[0])
+        recon = apply(params["gen"], _frames(x))
+        return recon.reshape(x.shape), x
+
+    def loss_fn(params, batch, rng, step):
+        frames = _frames(dequantize(batch[key]))
+        logvar = params.get("logvar", jnp.zeros(()))
+        total, (_recon, aux) = rec_loss_fn(params["gen"], logvar, frames, rng)
+        return total, aux
+
+    task = Task(name=name, init_params=init_params, loss_fn=loss_fn,
+                eval_fn=eval_fn, custom_train_step=custom_train_step)
+    task.disc_tx = disc_tx  # init_gan_state needs it to build the extra slot
+    return task
+
+
+def init_gan_state(trainer, task) -> TrainState:
+    """Initialize a TrainState whose extra carries the disc optimizer state.
+
+    The Trainer's generic init doesn't know about the second optimizer; GAN
+    experiments call this instead of trainer.init_state().
+    """
+    state = trainer.init_state()
+    # recover disc_tx from the task closure by re-initializing
+    disc_params = state.params["disc"]
+    disc_tx = task.disc_tx
+    return state.replace(extra={"disc_opt_state": disc_tx.init(disc_params)})

@@ -1,0 +1,303 @@
+"""Config-driven training harness: one jitted step, epochs, eval, resume.
+
+Replaces the reference's PyTorch-Lightning experiment skeleton
+(reference experiments/ae_v2/train.py:264-347): derived total-step math,
+fraction-based checkpoint/metric/plot cadences, limit_*_batches, auto-resume
+from the newest loadable checkpoint, LR monitoring, grad-norm logging, the
+final "done" success marker, and the crash-retry supervision loop that the
+reference ran in bash (experiments/ae_v2/run.sh:17-45).
+
+TPU-first structure: a Task object owns the model + loss; the Trainer turns it
+into ONE jitted train_step (forward + backward + clip + update + grad-norm +
+scalar logging aux in a single XLA program). Data parallelism: pass a Mesh and
+the trainer shards each batch over 'dp' and replicates params — XLA inserts
+the psum gradients all-reduce automatically (the `strategy="auto"`/
+`sync_dist=True` analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..utils.config import Config
+from .checkpoint import CheckpointManager, find_latest_ckpt, new_run_id, run_dir_for
+from .logging import RunLogger
+from .optim import adamw, cosine_warmup_schedule, global_norm, one_cycle_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    extra: Any = None  # task-specific (e.g. discriminator params/opt state)
+
+
+@dataclasses.dataclass
+class Task:
+    """A trainable objective.
+
+    loss_fn(params, batch, rng, step) -> (loss, aux_scalars)
+    eval_fn(params, batch, rng) -> (metrics_pred, metrics_target) in pixel
+    space (B, T, C, H, W) [0, 1] — used for calc_metrics + image panels; may
+    be None for loss-only validation.
+    """
+
+    name: str
+    init_params: Callable[[jax.Array], Any]
+    loss_fn: Callable[..., Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+    eval_fn: Optional[Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]] = None
+    # optional fully-custom step: (state, batch, tx) -> (state, aux)
+    custom_train_step: Optional[Callable] = None
+
+
+def build_optimizer(cfg: Config, total_steps: int):
+    """Returns (optax transformation, schedule fn)."""
+    sched_name = cfg.optim.get("schedule", "cosine_warmup")
+    if sched_name == "cosine_warmup":
+        p = cfg.cosine_warmup
+        warmup = int(p.warmup_ratio * total_steps) if "warmup_ratio" in p \
+            else int(p.warmup_steps)
+        sched = cosine_warmup_schedule(p.start_lr, p.peak_lr, p.final_lr,
+                                       total_steps, warmup)
+    elif sched_name == "one_cycle":
+        p = cfg.one_cycle
+        ramp = int(p.get("rampup_ratio", 0.3) * total_steps)
+        sched = one_cycle_schedule(p.start_lr, p.peak_lr, p.final_lr,
+                                   total_steps, ramp)
+    elif sched_name == "constant":
+        sched = cfg.optim.lr
+    else:
+        raise ValueError(f"Unknown schedule {sched_name}")
+    return adamw(sched, weight_decay=cfg.optim.get("weight_decay", 0.01),
+                 beta1=cfg.optim.get("beta1", 0.9),
+                 beta2=cfg.optim.get("beta2", 0.999),
+                 grad_clip=cfg.optim.get("grad_clip", None),
+                 accumulate_steps=int(cfg.trainer.get("accumulate_grad_batches", 1))), sched
+
+
+def derive_steps(cfg: Config, n_train_batches: int, n_val_batches: int,
+                 n_test_batches: int = 0) -> Config:
+    """Total-step derivation incl. limit_*_batches scaling
+    (reference experiments/ae_s2/train.py:270-282)."""
+    accum = int(cfg.trainer.get("accumulate_grad_batches", 1))
+    epochs = int(cfg.trainer.max_epochs)
+    cfg = cfg.merge({})  # deep copy
+    t = cfg.trainer
+    t.total_train_steps = int(n_train_batches * epochs / accum)
+    t.total_val_steps = int(n_val_batches * epochs / accum)
+    t.total_test_steps = int(n_test_batches * epochs / accum)
+    for key, tot in (("limit_train_batches", "total_train_steps"),
+                     ("limit_val_batches", "total_val_steps"),
+                     ("limit_test_batches", "total_test_steps")):
+        frac = t.get(key, None)
+        if frac is not None:
+            t[tot] = int(t[tot] * float(frac))
+    return cfg
+
+
+class Trainer:
+    def __init__(self, cfg: Config, task: Task, mesh: Optional[jax.sharding.Mesh] = None,
+                 run_id: Optional[str] = None, resume: bool = False):
+        self.cfg = cfg
+        self.task = task
+        self.mesh = mesh
+        self.total_steps = int(cfg.trainer.total_train_steps)
+        self.tx, self.schedule = build_optimizer(cfg, self.total_steps)
+        self.resume = resume
+        self._resume_state = None
+
+        exp_path = cfg.get("experiment_path", ".")
+        exp_name = cfg.get("experiment_name", task.name)
+        if resume:
+            template = self._init_state(jax.random.key(int(cfg.get("seed", 0))))
+            restored, found_id, step = find_latest_ckpt(exp_path, exp_name, template)
+            if restored is not None:
+                print(f"[trainer] resuming run {found_id} at step {step}")
+                self._resume_state = restored
+                run_id = found_id
+            else:
+                print("[trainer] no checkpoint found, starting from scratch")
+        self.run_id = run_id or new_run_id()
+        self.run_dir = run_dir_for(exp_path, exp_name, self.run_id)
+        self.logger = RunLogger(self.run_dir, project=cfg.get("project_name"),
+                                name=exp_name, resume_id=self.run_id)
+        self.ckpt = CheckpointManager(self.run_dir)
+        Config(cfg).save(f"{self.run_dir}/config.yaml")
+
+        self._train_step = self._build_train_step()
+        self._eval_loss = jax.jit(
+            lambda params, batch, rng: self.task.loss_fn(params, batch, rng, 0))
+
+    # -- state ----------------------------------------------------------------
+    def _init_state(self, rng: jax.Array) -> TrainState:
+        p_rng, s_rng = jax.random.split(rng)
+        params = self.task.init_params(p_rng)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.tx.init(params), rng=s_rng)
+
+    def init_state(self) -> TrainState:
+        if self._resume_state is not None:
+            return self._resume_state
+        state = self._init_state(jax.random.key(int(self.cfg.get("seed", 0))))
+        if self.mesh is not None:
+            # replicate across the mesh; batches get sharded over 'dp'
+            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            state = jax.device_put(state, rep)
+        return state
+
+    def batch_sharding(self) -> Optional[jax.sharding.Sharding]:
+        if self.mesh is None:
+            return None
+        return jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec("dp"))
+
+    # -- steps ------------------------------------------------------------------
+    def _build_train_step(self):
+        if self.task.custom_train_step is not None:
+            custom = self.task.custom_train_step
+
+            @jax.jit
+            def train_step(state: TrainState, batch):
+                return custom(state, batch, self.tx)
+
+            return train_step
+
+        loss_fn = self.task.loss_fn
+
+        @jax.jit
+        def train_step(state: TrainState, batch):
+            rng, step_rng = jax.random.split(state.rng)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, step_rng, state.step)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            aux = dict(aux)
+            aux["loss"] = loss
+            aux["grad_norm"] = global_norm(grads)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      opt_state=opt_state, rng=rng)
+            return new_state, aux
+
+        return train_step
+
+    # -- loops ------------------------------------------------------------------
+    def fit(self, train_loader, val_loader=None, state: Optional[TrainState] = None
+            ) -> TrainState:
+        from ..data.prefetch import device_prefetch
+
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        start_step = int(state.step)
+        log_every = max(1, int(cfg.logging.get("log_every_n_steps", 50)))
+        save_every = max(1, int(self.total_steps *
+                                float(cfg.trainer.get("save_every_n_steps", 0.1))))
+        val_every = max(1, int(self.total_steps *
+                               float(cfg.logging.get("val_every_n", 0.25))))
+        limit = cfg.trainer.get("limit_train_batches", None)
+        epochs = int(cfg.trainer.max_epochs)
+        sharding = self.batch_sharding()
+
+        step = start_step
+        t_last = time.time()
+        done = False
+        for epoch in range(epochs):
+            if done:
+                break
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            n_batches = len(train_loader)
+            if limit is not None:
+                n_batches = int(n_batches * float(limit)) if limit <= 1 else int(limit)
+            for i, batch in enumerate(device_prefetch(train_loader, sharding=sharding)):
+                if i >= n_batches:
+                    break
+                state, aux = self._train_step(state, batch)
+                step = int(state.step)
+                if step % log_every == 0:
+                    aux = {k: float(v) for k, v in jax.device_get(aux).items()}
+                    aux["lr"] = float(self.schedule(step)) if callable(self.schedule) \
+                        else float(self.schedule)
+                    aux["steps_per_sec"] = log_every / max(1e-9, time.time() - t_last)
+                    t_last = time.time()
+                    self.logger.log_scalars(aux, step, prefix="train")
+                if step % save_every == 0:
+                    self.ckpt.save(step, jax.device_get(state))
+                if val_loader is not None and step % val_every == 0:
+                    self.validate(state, val_loader, step)
+                if step >= self.total_steps:
+                    done = True
+                    break
+        # save_last semantics
+        self.ckpt.save(max(step, 1), jax.device_get(state), force=True)
+        return state
+
+    def validate(self, state: TrainState, val_loader, step: int,
+                 tag: str = "val", max_batches: Optional[int] = None,
+                 log_images: bool = False) -> Dict[str, float]:
+        from ..data.prefetch import device_prefetch
+
+        from ..metrics import calc_metrics
+
+        losses = []
+        metric_sums: Dict[str, float] = {}
+        n_metric = 0
+        sharding = self.batch_sharding()
+        limit = max_batches or self.cfg.trainer.get("limit_val_batches", None)
+        if limit is not None:
+            # fractions (<1.0) scale the loader length; ints are batch counts
+            limit = int(limit) if limit >= 1 else max(1, int(limit * len(val_loader)))
+        for i, batch in enumerate(device_prefetch(val_loader, sharding=sharding)):
+            if limit is not None and i >= limit:
+                break
+            loss, _aux = self._eval_loss(state.params, batch, state.rng)
+            losses.append(float(loss))
+            if self.task.eval_fn is not None:
+                pred, target = self.task.eval_fn(state.params, batch, state.rng)
+                m = calc_metrics(pred, target)
+                for k, v in m.items():
+                    metric_sums[k] = metric_sums.get(k, 0.0) + v
+                n_metric += 1
+                if log_images and i == 0:
+                    self.logger.log_images(np.asarray(pred), np.asarray(target),
+                                           f"{tag}_panels", step)
+        out = {"loss": float(np.mean(losses)) if losses else float("nan")}
+        if n_metric:
+            out.update({k: v / n_metric for k, v in metric_sums.items()})
+        self.logger.log_scalars(out, step, prefix=tag)
+        return out
+
+    def test(self, state: TrainState, test_loader, step: Optional[int] = None
+             ) -> Dict[str, float]:
+        return self.validate(state, test_loader, step or int(state.step),
+                             tag="test", log_images=True)
+
+    def close(self):
+        self.logger.close()
+        self.ckpt.close()
+
+
+def run_with_retry(main_fn: Callable[[], None], max_retries: int = 100,
+                   backoff_s: float = 5.0) -> None:
+    """Bash-free supervision: rerun `main_fn` until it completes
+    (reference experiments/ae_v2/run.sh:17-45 rerun-until-'done' loop)."""
+    for attempt in range(max_retries):
+        try:
+            main_fn()
+            print("done")
+            return
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — supervision must survive anything
+            print(f"[supervisor] attempt {attempt} crashed: {type(e).__name__}: {e}; "
+                  f"retrying in {backoff_s}s with resume")
+            time.sleep(backoff_s)
+    raise RuntimeError("run_with_retry exhausted retries")
