@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark: 12-step SEVIR-LR VIL latent rollout on one TPU chip.
+
+The north-star path from BASELINE.json: encode 13 input frames with a frozen
+VAE (128x128 -> 64x8x8 latent), forecast 12 latent steps with DLinear
+(persistence-anchored residuals), decode back to pixels — ONE jitted XLA
+program (weatherforecastingtoolkit_tpu/models/rollout.py).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+vs_baseline = our TPU frames/sec divided by the reference PyTorch pipeline's
+frames/sec measured on this container's CPU (the only hardware the torch
+reference can run on here; measured once and cached in .bench_baseline.json).
+The reference pipeline is imported from /root/reference at runtime — its
+per-frame python encode/decode loop (ae_s2/train.py:29-51) is benchmarked
+as-written.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BATCH = 8
+T_IN, T_OUT = 13, 12
+HW = 128
+LATENT_C, LATENT_HW = 64, 8
+VAE_CHANNELS = (64, 128, 256, 512, 512)  # 4 downsamples: 128 -> 8
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_jax_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
+    from weatherforecastingtoolkit_tpu.models.rollout import make_forecast_pipeline
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL
+
+    vae = AutoencoderKL(in_channels=1, out_channels=1,
+                        block_out_channels=VAE_CHANNELS, layers_per_block=1,
+                        latent_channels=LATENT_C, norm_num_groups=32)
+    d = LATENT_C * LATENT_HW * LATENT_HW
+    forecaster = DLinear(seq_len=T_IN, pred_len=T_OUT, kernel_size=25)
+
+    rng = jax.random.key(0)
+    frame = jnp.zeros((1, 1, HW, HW), jnp.float32)
+    vae_vars = vae.init(rng, frame)
+    fc_vars = forecaster.init(rng, jnp.zeros((1, T_IN, d), jnp.float32))
+
+    def encode_apply(frames):
+        return vae.apply(vae_vars, frames, method=vae.encode).mode()
+
+    def decode_apply(latents):
+        return vae.apply(vae_vars, latents, method=vae.decode)
+
+    pipeline = make_forecast_pipeline(
+        encode_apply=encode_apply, decode_apply=decode_apply,
+        forecaster_apply=lambda p, z: forecaster.apply(p, z),
+        input_frames=T_IN, pred_frames=T_OUT)
+    return jax.jit(pipeline), fc_vars
+
+
+def bench_jax():
+    import jax
+
+    from weatherforecastingtoolkit_tpu.data.synthetic import synthetic_vil_events
+
+    log(f"devices: {jax.devices()}")
+    pipeline, fc_vars = build_jax_pipeline()
+
+    events = synthetic_vil_events(BATCH, HW, HW, T_IN, seed=0)  # (B,H,W,T) u8
+    frames = np.transpose(events, (0, 3, 1, 2))[:, :, None]     # (B,T,1,H,W)
+    frames = jax.device_put(frames.astype(np.float32) / 255.0)
+
+    log("compiling rollout pipeline ...")
+    t0 = time.time()
+    out = pipeline(fc_vars, frames)
+    out.block_until_ready()
+    log(f"compile + first call: {time.time() - t0:.1f}s; out {out.shape}")
+
+    # timed: best of several runs, each a fresh full rollout
+    n_rep = 10
+    times = []
+    for _ in range(n_rep):
+        t0 = time.time()
+        out = pipeline(fc_vars, frames)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    t_step = float(np.median(times))
+    fps = BATCH * T_OUT / t_step
+    log(f"median rollout latency: {t_step*1000:.1f} ms -> {fps:.1f} predicted frames/sec")
+    return fps
+
+
+def bench_torch_reference():
+    """Reference pipeline (torch CPU): per-frame encode loop -> DLinear ->
+    per-frame decode loop, structured exactly like ae_s2/train.py."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from pipeline.models.autoencoderkl.autoencoder_kl import AutoencoderKL as TorchAKL
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Cfg:  # DLinear config shim (reference ae_s2 config)
+        seq_len, pred_len, kernel_size, individual = T_IN, T_OUT, 25, False
+        enc_in = LATENT_C * LATENT_HW * LATENT_HW
+
+    # The reference's own ae_s2/train.py imports wandb/lightning (absent here),
+    # so the same DLinear is built inline (structure per ae_s2/train.py:86-133).
+    import torch.nn as nn
+
+    class moving_avg(nn.Module):
+        def __init__(self, kernel_size, stride):
+            super().__init__()
+            self.kernel_size = kernel_size
+            self.avg = nn.AvgPool1d(kernel_size=kernel_size, stride=stride, padding=0)
+
+        def forward(self, x):
+            front = x[:, 0:1, :].repeat(1, (self.kernel_size - 1) // 2, 1)
+            end = x[:, -1:, :].repeat(1, (self.kernel_size - 1) // 2, 1)
+            x = torch.cat([front, x, end], dim=1)
+            return self.avg(x.permute(0, 2, 1)).permute(0, 2, 1)
+
+    class DLinearT(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.ma = moving_avg(c.kernel_size, 1)
+            self.ls = nn.Linear(c.seq_len, c.pred_len)
+            self.lt = nn.Linear(c.seq_len, c.pred_len)
+
+        def forward(self, x):
+            trend = self.ma(x)
+            seasonal = x - trend
+            out = self.ls(seasonal.permute(0, 2, 1)) + self.lt(trend.permute(0, 2, 1))
+            return out.permute(0, 2, 1)
+
+    vae = TorchAKL(in_channels=1, out_channels=1,
+                   down_block_types=("DownEncoderBlock2D",) * len(VAE_CHANNELS),
+                   up_block_types=("UpDecoderBlock2D",) * len(VAE_CHANNELS),
+                   block_out_channels=VAE_CHANNELS, layers_per_block=1,
+                   latent_channels=LATENT_C, norm_num_groups=32).eval()
+    dl = DLinearT(Cfg).eval()
+
+    x = torch.rand(BATCH, T_IN, 1, HW, HW)
+
+    @torch.no_grad()
+    def rollout(x):
+        # per-frame encode loop (reference ae_s2/train.py:29-38)
+        zs = [vae.encode(x[:, i]).mode().unsqueeze(1) for i in range(T_IN)]
+        z = torch.cat(zs, dim=1)
+        b, t, c, h, w = z.shape
+        anchor = z[:, -1:].reshape(b, 1, -1)
+        zin = z.reshape(b, t, -1) - anchor
+        zp = dl(zin) + anchor
+        zp = zp.reshape(b, T_OUT, c, h, w)
+        outs = [vae.decode(zp[:, i]).unsqueeze(1) for i in range(T_OUT)]
+        return torch.cat(outs, dim=1)
+
+    rollout(x)  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        rollout(x)
+        times.append(time.time() - t0)
+    t_step = float(np.median(times))
+    fps = BATCH * T_OUT / t_step
+    log(f"torch reference (CPU): {t_step*1000:.1f} ms -> {fps:.2f} frames/sec")
+    return fps
+
+
+def get_baseline_fps():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_fps"]
+    log("measuring torch reference baseline (one-time, cached) ...")
+    fps = bench_torch_reference()
+    try:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"torch_cpu_fps": fps, "note":
+                       "reference pipeline (per-frame loops) on container CPU"}, f)
+    except OSError:
+        pass
+    return fps
+
+
+def main():
+    fps = bench_jax()
+    baseline = get_baseline_fps()
+    print(json.dumps({
+        "metric": "sevirlr_12step_rollout_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / baseline, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

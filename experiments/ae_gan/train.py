@@ -1,0 +1,68 @@
+"""Adversarial frame-autoencoder experiment (conv AE or VAE + PatchGAN).
+
+Capability of the reference's ae_v2_2 (PosAwareAE + hinge GAN + adaptive
+weight, experiments/ae_v2_2/train.py:31-159) and — with model.name
+autoencoder_kl + lpips.kl_weight set — ae_gan_kl / LPIPSWithDiscriminator
+(autoencoderkl/losses/contperceptual.py:33-169).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from experiments.common import main  # noqa: E402
+from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator  # noqa: E402
+from weatherforecastingtoolkit_tpu.models.registry import build_model  # noqa: E402
+from weatherforecastingtoolkit_tpu.training.gan import (init_gan_state,  # noqa: E402
+                                                        make_vae_gan_task)
+
+
+def build_task(cfg, dm):
+    kwargs = {k: v for k, v in cfg.model.items() if k != "name"}
+    model = build_model(cfg.model.name, **kwargs)
+    is_vae = cfg.model.name == "autoencoder_kl"
+    hw = cfg.dataset.get("img_size", 128)
+
+    if is_vae:
+        def generator_apply(params, frames, rng):
+            recon, posterior = model.apply(params, frames, sample_posterior=True,
+                                           rng=rng, return_posterior=True)
+            return recon, posterior.kl()
+        last_layer = ("params", "decoder", "conv_out", "kernel")
+        eval_apply = lambda p, f: model.apply(p, f)  # noqa: E731
+    else:
+        def generator_apply(params, frames, rng):
+            recon, _z = model.apply(params, frames)
+            return recon, None
+        last_layer = ("params", "dec_out", "kernel")
+        eval_apply = lambda p, f: model.apply(p, f)[0]  # noqa: E731
+
+    disc = NLayerDiscriminator(input_nc=1, ndf=cfg.lpips.get("disc_ndf", 64),
+                               n_layers=cfg.lpips.disc_num_layers)
+    disc_tx = optax.adam(cfg.lpips.get("disc_lr", 4.5e-5), b1=0.5, b2=0.9)
+
+    return make_vae_gan_task(
+        name=cfg.experiment_name,
+        generator_apply=generator_apply,
+        gen_init=lambda rng: model.init(rng, jnp.zeros((1, 1, hw, hw))),
+        disc_apply=lambda p, f: disc.apply(p, f),
+        disc_init=lambda rng: disc.init(rng, jnp.zeros((1, 1, hw, hw))),
+        disc_tx=disc_tx,
+        last_layer_path=last_layer,
+        eval_apply=eval_apply,
+        recon_weight=cfg.lpips.get("recon_weight", 1.0),
+        perceptual_weight=cfg.lpips.get("perceptual_weight", 0.0),
+        kl_weight=cfg.lpips.get("kl_weight", None),
+        disc_weight=cfg.lpips.disc_weight,
+        disc_factor=cfg.lpips.get("disc_factor", 1.0),
+        disc_start=int(cfg.lpips.disc_start),
+        disc_loss=cfg.lpips.get("disc_loss", "hinge"))
+
+
+if __name__ == "__main__":
+    main(__file__, build_task, init_state_fn=init_gan_state)

@@ -1,0 +1,80 @@
+"""Experiment-layer smoke tests: every experiment trains 2 steps end-to-end on
+the synthetic fallback dataset via its own train.py main()."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXPERIMENTS = [
+    "ae_recon", "ae_gan", "vae_gan_kl", "latent_dlinear", "latent_linear",
+    "latent_convae", "latent_convattn", "mlp_intensity", "alphapre",
+]
+
+# tiny overrides so each smoke run compiles small programs and finishes fast
+COMMON = [
+    "dataset.batch_size=2", "dataset.num_workers=2",
+    "dataset.synthetic_events=6", "dataset.img_size=32",
+    "trainer.max_epochs=1", "trainer.limit_train_batches=2",
+    "trainer.limit_val_batches=1", "trainer.run_test=false",
+    "logging.log_every_n_steps=1", "logging.val_every_n=10.0",
+    "trainer.save_every_n_steps=10.0",
+]
+
+SPECIFIC = {
+    "ae_recon": ["model.latent_dim=32", "model.latent_channels=4",
+                 "dataset.seq_len=4",
+                 "model.enc_channels=[8,16]", "model.dec_channels=[16,8,8]",
+                 "model.num_blocks=1"],
+    "ae_gan": ["model.latent_dim=32", "model.latent_channels=4",
+               "dataset.seq_len=4",
+               "model.enc_channels=[8,16]", "model.dec_channels=[16,8,8]",
+               "model.num_blocks=1", "lpips.disc_num_layers=1",
+               "lpips.disc_ndf=8", "lpips.disc_start=0"],
+    "vae_gan_kl": ["model.block_out_channels=[8,16]",
+                   "model.latent_channels=4", "model.norm_num_groups=4",
+                   "dataset.seq_len=4",
+                   "lpips.disc_num_layers=1", "lpips.disc_ndf=8",
+                   "lpips.disc_start=0"],
+    "latent_dlinear": ["ae_kl.block_out_channels=[8,16]",
+                       "ae_kl.latent_channels=4", "ae_kl.norm_num_groups=4",
+                       "dataset.seq_len=8", "dataset.input_frames=5",
+                       "dataset.pred_frames=3", "dataset.stride=12",
+                       "dlinear.kernel_size=5"],
+    "latent_linear": ["ae_kl.block_out_channels=[8,16]",
+                      "ae_kl.latent_channels=4", "ae_kl.norm_num_groups=4",
+                      "dataset.seq_len=8", "dataset.input_frames=5",
+                      "dataset.pred_frames=3"],
+    "latent_convae": ["ae_kl.block_out_channels=[8,16]",
+                      "ae_kl.latent_channels=4", "ae_kl.norm_num_groups=4",
+                      "dataset.seq_len=4", "model.latent_dim=32"],
+    "latent_convattn": ["ae_kl.block_out_channels=[8,16]",
+                        "ae_kl.latent_channels=4", "ae_kl.norm_num_groups=4",
+                        "dataset.seq_len=4", "model.embed_dim=16",
+                        "model.nhead=2", "model.num_tf_layers=1",
+                        "model.latent_dim=16"],
+    "mlp_intensity": ["dataset.seq_len=13", "dataset.input_frames=5",
+                      "dataset.pred_frames=8", "model.hidden_dim=16"],
+    "alphapre": ["model.input_shape=[32,32]", "model.dim=8",
+                 "model.n_layers=1", "model.spec_num=3", "dataset.seq_len=8",
+                 "model.T_in=5", "model.T_out=3"],
+}
+
+
+@pytest.mark.parametrize("exp", EXPERIMENTS)
+def test_experiment_smoke(exp, tmp_path):
+    script = os.path.join(REPO, "experiments", exp, "train.py")
+    overrides = COMMON + SPECIFIC[exp] + [
+        f"experiment_path={tmp_path}/{exp}"]
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"  # sitecustomize overrides JAX_PLATFORMS
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run(
+        [sys.executable, script, *overrides],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert result.returncode == 0, (
+        f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
+    assert "done" in result.stdout.splitlines()[-1]

@@ -1,0 +1,127 @@
+"""Rollout engine tests: persistence baseline, direct + autoregressive
+pipelines, residual anchoring semantics, uint8 on-device dequantization,
+and the graft entry points (incl. the multichip dryrun on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
+from weatherforecastingtoolkit_tpu.models.rollout import (evaluate_vs_persistence,
+                                                          make_eval_fn,
+                                                          make_forecast_pipeline,
+                                                          persistence_baseline)
+
+
+def test_persistence_baseline(rng):
+    x = jnp.asarray(rng.random((2, 5, 1, 8, 8)).astype(np.float32))
+    p = persistence_baseline(x, 3)
+    assert p.shape == (2, 3, 1, 8, 8)
+    np.testing.assert_array_equal(np.asarray(p[:, 0]), np.asarray(x[:, -1]))
+    np.testing.assert_array_equal(np.asarray(p[:, 2]), np.asarray(x[:, -1]))
+
+
+def _identity_codec(latent_hw=4):
+    """encode = flatten frames to latents (identity), decode = reshape back."""
+    def encode(frames):  # (N, 1, h, w) -> (N, h*w)
+        return frames.reshape(frames.shape[0], -1)
+
+    def decode(z):
+        n = z.shape[0]
+        hw = int(np.sqrt(z.shape[-1]))
+        return z.reshape(n, 1, hw, hw)
+
+    return encode, decode
+
+
+@pytest.mark.parametrize("autoregressive", [False, True])
+def test_pipeline_shapes(autoregressive, rng):
+    t_in, t_out = 5, 4
+    encode, decode = _identity_codec()
+    fc = DLinear(seq_len=t_in, pred_len=t_out if not autoregressive else 1,
+                 kernel_size=3)
+    d = 16
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, d)))
+    pipeline = make_forecast_pipeline(
+        encode_apply=encode, decode_apply=decode,
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out, autoregressive=autoregressive)
+    x = jnp.asarray(rng.random((2, t_in, 1, 4, 4)).astype(np.float32))
+    out = jax.jit(pipeline)(params, x)
+    assert out.shape == (2, t_out, 1, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_residual_anchor_zero_init_is_persistence(rng):
+    """DLinear's 1/seq_len init on anchored residuals: prediction of the
+    anchored deltas ~ mean(delta); with anchor added back the pipeline's
+    zero-shot output stays near the last frame — i.e. persistence-anchored."""
+    t_in, t_out = 4, 3
+    encode, decode = _identity_codec()
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    d = 16
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, d)))
+    pipeline = make_forecast_pipeline(
+        encode_apply=encode, decode_apply=decode,
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out)
+    # constant input sequence -> all anchored deltas are 0 -> output == anchor
+    x = jnp.ones((1, t_in, 1, 4, 4)) * 0.7
+    out = jax.jit(pipeline)(params, x)
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-5)
+
+
+def test_uint8_dequantization(rng):
+    t_in, t_out = 4, 2
+    encode, decode = _identity_codec()
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, 16)))
+    pipeline = make_forecast_pipeline(
+        encode_apply=encode, decode_apply=decode,
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out)
+    xu8 = (rng.random((1, t_in, 1, 4, 4)) * 255).astype(np.uint8)
+    out_u8 = jax.jit(pipeline)(params, jnp.asarray(xu8))
+    out_f32 = jax.jit(pipeline)(params, jnp.asarray(xu8.astype(np.float32) / 255))
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f32), atol=1e-6)
+
+
+def test_eval_vs_persistence(rng):
+    t_in, t_out = 4, 2
+    encode, decode = _identity_codec()
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, 256)))
+    pipeline = make_forecast_pipeline(
+        encode_apply=encode, decode_apply=decode,
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out)
+    eval_fn = make_eval_fn(pipeline, t_in, t_out)
+    batches = [jnp.asarray(rng.random((2, t_in + t_out, 1, 16, 16)).astype(np.float32))
+               for _ in range(2)]
+    model_m, persist_m = evaluate_vs_persistence(eval_fn, params, batches)
+    assert "SSIM" in model_m and "SSIM" in persist_m
+    assert np.isfinite(model_m["CRPS"]) and np.isfinite(persist_m["CRPS"])
+
+
+# ---------------------------------------------------------------- graft entry
+def test_graft_entry_compiles():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    # compile-check via eval_shape (full compile is the driver's job; on the
+    # CPU test platform a full VAE compile is minutes)
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (2, 12, 1, 128, 128)
+
+
+def test_dryrun_multichip_8():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

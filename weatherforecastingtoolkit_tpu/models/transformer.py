@@ -75,6 +75,53 @@ class TransformerEncoder(nn.Module):
         return x
 
 
+class TransformerDecoderLayer(nn.Module):
+    """Pre-LN decoder layer: self-attn over queries, cross-attn to memory,
+    FFN (torch TransformerDecoderLayer norm_first=True equivalent — used by
+    the reference's AttentionChargedAutoencoder and ConvAttnModel)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        h = nn.LayerNorm()(tgt)
+        h = SelfAttention(self.dim, self.num_heads, name="self_attn")(h)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        h = nn.LayerNorm()(tgt)
+        h = CrossAttention(self.dim, memory.shape[-1], self.num_heads,
+                           name="cross_attn")(h, memory)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        h = nn.LayerNorm()(tgt)
+        h = nn.Dense(self.ffn_dim)(h)
+        h = self.activation(h)
+        h = nn.Dense(self.dim)(h)
+        return tgt + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+
+class TransformerDecoder(nn.Module):
+    depth: int
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        for _ in range(self.depth):
+            tgt = TransformerDecoderLayer(self.dim, self.num_heads, self.ffn_dim,
+                                          self.dropout)(tgt, memory,
+                                                        deterministic=deterministic)
+        return tgt
+
+
 class CrossAttention(nn.Module):
     """Generic multi-head cross-attention: queries attend to kv tokens.
 
