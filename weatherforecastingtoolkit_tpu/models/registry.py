@@ -39,6 +39,7 @@ def _populate():
     from .legacy import StructuredConvAE
     from .path_a import AttentionChargedAutoencoder, ConvAutoencoder
     from .vae.autoencoder_kl import AutoencoderKL
+    from .vae.custom_akl import CustomAutoencoderKL
     from .vit_ae import ViTAE
 
     entries = {
@@ -47,6 +48,7 @@ def _populate():
         "pos_aware_ae_tf": PosAwareAETF,        # ae_64x8x8_tf
         "vit_ae": ViTAE,                        # ae_vit AE_ViT_2048
         "autoencoder_kl": AutoencoderKL,        # diffusers-style VAE
+        "custom_autoencoder_kl": CustomAutoencoderKL,  # timeseries-bottleneck VAE
         "structured_conv_ae": StructuredConvAE,  # ae_old spatial-latent family
         "conv_autoencoder": ConvAutoencoder,    # Path-A ae_gan models
         "attention_charged_ae": AttentionChargedAutoencoder,
