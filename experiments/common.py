@@ -28,6 +28,11 @@ if os.environ.get("WX_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["WX_PLATFORM"])
 
+from weatherforecastingtoolkit_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache)
+
+enable_persistent_cache()
+
 from weatherforecastingtoolkit_tpu.data.datamodule import SEVIRDataModule  # noqa: E402
 from weatherforecastingtoolkit_tpu.data.synthetic import make_synthetic_sevir  # noqa: E402
 from weatherforecastingtoolkit_tpu.training.trainer import (Trainer, derive_steps,  # noqa: E402
@@ -90,9 +95,15 @@ def main(exp_file: str, build_task: Callable,
         train_loader = dm.train_loader()
         val_loader = dm.val_loader()
         test_loader = dm.test_loader()
+        # dataloader smoke: batch counts + one batch's shape per split
+        # (reference ae_v2/train.py:300-304 does exactly this before fit)
         for name, loader in (("train", train_loader), ("val", val_loader),
                              ("test", test_loader)):
-            print(f"[data] {name}: {len(loader)} batches")
+            shape = None
+            if len(loader):
+                first = next(iter(loader))
+                shape = {k: tuple(v.shape) for k, v in first.items()}
+            print(f"[data] {name}: {len(loader)} batches, first {shape}")
         cfg = derive_steps(cfg, len(train_loader), len(val_loader),
                            len(test_loader))
         # fractional disc_start -> step count (reference ae_s2/train.py:282)

@@ -174,3 +174,27 @@ def test_run_with_retry():
 
     run_with_retry(flaky, backoff_s=0.0)
     assert calls["n"] == 3
+
+
+# ---------------------------------------------------------------- profiling
+def test_step_timer_report():
+    import time as _time
+    from weatherforecastingtoolkit_tpu.training.profiling import StepTimer
+
+    t = StepTimer()
+    with t.phase("data"):
+        _time.sleep(0.01)
+    with t.phase("step"):
+        _time.sleep(0.02)
+    with t.phase("step"):
+        _time.sleep(0.02)
+    rep = t.report()
+    assert "step" in rep and "data" in rep and "%" in rep
+    t.reset()
+    assert t.report().count("\n") == 0  # only header
+
+
+def test_device_memory_stats_shape():
+    from weatherforecastingtoolkit_tpu.training.profiling import device_memory_stats
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)

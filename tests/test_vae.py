@@ -126,3 +126,20 @@ def test_from_torch_rejects_missing_keys(rng):
     sd.pop("quant_conv.weight")
     with pytest.raises(KeyError):
         from_torch_state_dict(AutoencoderKL(**SMALL), sd, (1, 1, 32, 32))
+
+
+# ------------------------------------------------------------ FIR resampling
+def test_fir_resampling(rng):
+    import jax.numpy as jnp
+    from weatherforecastingtoolkit_tpu.models.vae.blocks import (
+        fir_downsample_2d, fir_upsample_2d)
+
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    assert fir_upsample_2d(x).shape == (1, 16, 16, 3)
+    assert fir_downsample_2d(x).shape == (1, 4, 4, 3)
+    # normalized kernels preserve constant fields (away from borders)
+    c = jnp.ones((1, 8, 8, 2))
+    up = np.asarray(fir_upsample_2d(c))[0, 2:-2, 2:-2]
+    dn = np.asarray(fir_downsample_2d(c))[0, 1:-1, 1:-1]
+    np.testing.assert_allclose(up, 1.0, atol=1e-6)
+    np.testing.assert_allclose(dn, 1.0, atol=1e-6)

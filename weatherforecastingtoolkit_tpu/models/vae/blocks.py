@@ -104,6 +104,47 @@ class AttentionBlock(nn.Module):
         return (out + residual) / self.rescale_output_factor
 
 
+def _fir_kernel_2d(kernel=(1, 3, 3, 1)) -> jnp.ndarray:
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    k2 = jnp.outer(k, k)
+    return k2 / jnp.sum(k2)
+
+
+def fir_upsample_2d(x: jnp.ndarray, kernel=(1, 3, 3, 1), factor: int = 2
+                    ) -> jnp.ndarray:
+    """FIR-filtered 2x upsample (the reference's StyleGAN-style
+    upsample_2d/upfirdn2d path, resnet.py:193-366,638+). NHWC."""
+    b, h, w, c = x.shape
+    k = _fir_kernel_2d(kernel) * (factor ** 2)
+    # zero-stuff then depthwise-convolve with the FIR kernel
+    up = jnp.zeros((b, h, factor, w, factor, c), x.dtype)
+    up = up.at[:, :, 0, :, 0, :].set(x)
+    up = up.reshape(b, h * factor, w * factor, c)
+    kh = k.shape[0]
+    pad = ((kh - factor + 1) // 2 + factor - 1, (kh - factor) // 2)
+    kern = jnp.broadcast_to(k.reshape(1, 1, kh, kh), (c, 1, kh, kh))
+    dn = jax.lax.conv_dimension_numbers(
+        (b, c, 1, 1), (c, 1, kh, kh), ("NHWC", "OIHW", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        up, kern.astype(x.dtype), (1, 1), [pad, pad], dimension_numbers=dn,
+        feature_group_count=c)
+
+
+def fir_downsample_2d(x: jnp.ndarray, kernel=(1, 3, 3, 1), factor: int = 2
+                      ) -> jnp.ndarray:
+    """FIR-filtered 2x downsample (reference resnet.py downsample_2d). NHWC."""
+    b, h, w, c = x.shape
+    k = _fir_kernel_2d(kernel)
+    kh = k.shape[0]
+    pad = ((kh - factor + 1) // 2, (kh - factor) // 2)
+    kern = jnp.broadcast_to(k.reshape(1, 1, kh, kh), (c, 1, kh, kh))
+    dn = jax.lax.conv_dimension_numbers(
+        (b, c, 1, 1), (c, 1, kh, kh), ("NHWC", "OIHW", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (factor, factor), [pad, pad],
+        dimension_numbers=dn, feature_group_count=c)
+
+
 class DownEncoderBlock2D(nn.Module):
     out_channels: int
     num_layers: int = 1
