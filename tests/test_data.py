@@ -216,3 +216,35 @@ def test_datamodule_splits(sevir_root):
         SEVIRDataModule(dataset_name="nope", sevir_dir=sevir_root)
     with pytest.raises(ValueError):
         SEVIRDataModule(dataset_name="sevirlr", sevir_dir=sevir_root, layout="TNHW")
+
+
+# ------------------------------------------------------------- sequent/random iterator
+def test_sequent_iterator_pad_mask(sevir_root):
+    from weatherforecastingtoolkit_tpu.data.dataset import SEVIRSequentIterator
+    ds = SEVIRDataset(catalog=f"{sevir_root}/CATALOG.csv",
+                      data_dir=f"{sevir_root}/data", seq_len=13,
+                      raw_seq_len=25, stride=12, layout="NTCHW")
+    # 12 samples, batch 5 -> 2 full + 1 padded batch (2 real + 3 pad)
+    it = SEVIRSequentIterator(ds, batch_size=5, sample_mode="sequent")
+    batches = list(it)
+    assert len(batches) == 3
+    assert "mask" not in batches[0]
+    last = batches[-1]
+    assert last["mask"] == [True, True, False, False, False]
+    assert last["vil"][2:].sum() == 0  # padded entries zeroed
+    assert it.use_up
+    it.reset()
+    assert not it.use_up
+
+
+def test_random_iterator(sevir_root):
+    from weatherforecastingtoolkit_tpu.data.dataset import SEVIRSequentIterator
+    ds = SEVIRDataset(catalog=f"{sevir_root}/CATALOG.csv",
+                      data_dir=f"{sevir_root}/data", seq_len=13,
+                      raw_seq_len=25, stride=12, layout="NTCHW")
+    it = SEVIRSequentIterator(ds, batch_size=3, sample_mode="random", seed=1)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["vil"].shape == (3, 13, 1, 32, 32)
+    assert not it.use_up  # random mode never exhausts
+    assert not np.array_equal(b1["vil"], b2["vil"])

@@ -185,3 +185,61 @@ class SEVIRDataset:
             transformed = change_layout(arr[None], "NHWT", self.layout)
             out[t] = transformed.take(0, axis=self.layout.index("N"))
         return out
+
+
+class SEVIRSequentIterator:
+    """Streaming batch iterator over a SEVIRDataset-like map dataset.
+
+    The reference SEVIRDataLoader's iterator interface
+    (reference sevir/sevir.py:595-849): 'sequent' mode walks windows in order
+    and, at the dataset tail, pads the final batch and returns a per-sample
+    boolean 'mask' (True = real data); 'random' mode draws uniform
+    (event, window) samples forever. `reset()` restarts an epoch.
+    """
+
+    def __init__(self, dataset, batch_size: int, sample_mode: str = "sequent",
+                 seed: int = 0):
+        if sample_mode not in ("sequent", "random"):
+            raise ValueError(f"Invalid sample_mode {sample_mode!r}")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sample_mode = sample_mode
+        self._rng = np.random.default_rng(seed)
+        self._cursor = 0
+
+    def reset(self) -> None:
+        self._cursor = 0
+
+    @property
+    def use_up(self) -> bool:
+        return self.sample_mode == "sequent" and self._cursor >= len(self.dataset)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        n = len(self.dataset)
+        if self.sample_mode == "random":
+            idxs = self._rng.integers(0, n, self.batch_size)
+            mask = None
+        else:
+            if self.use_up:
+                raise StopIteration
+            idxs = np.arange(self._cursor,
+                             min(self._cursor + self.batch_size, n))
+            self._cursor += self.batch_size
+            pad = self.batch_size - len(idxs)
+            if pad > 0:
+                mask = [True] * len(idxs) + [False] * pad
+                idxs = np.concatenate([idxs, np.zeros(pad, dtype=int)])
+            else:
+                mask = None
+        samples = [self.dataset[int(i)] for i in idxs]
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        if mask is not None:
+            # zero out padded entries like the reference's zero-pad
+            m = np.asarray(mask)
+            for k in batch:
+                batch[k] = batch[k] * m.reshape((-1,) + (1,) * (batch[k].ndim - 1))
+            batch["mask"] = mask
+        return batch
