@@ -1,0 +1,177 @@
+"""Hermetic end-to-end Path-B demonstration: the reference's headline result.
+
+Reproduces the full scientific pipeline from the reference README
+(README.md:80-92 — "Linear forecaster on frozen-AE latents outperforms the
+persistence baseline") on synthetic advecting-blob VIL data, start to finish:
+
+  stage 1: train an AutoencoderKL to reconstruct frames
+  stage 2: freeze it; train DLinear on persistence-anchored latents
+  stage 3: evaluate the rollout vs the persistence baseline (full metric dict)
+
+Runs hermetically on CPU (WX_PLATFORM=cpu) or TPU. Writes RESULTS snippet to
+stdout.
+
+    python experiments/demo_path_b.py [--steps-ae 300 --steps-fc 300 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("WX_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["WX_PLATFORM"])
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from weatherforecastingtoolkit_tpu.data.datamodule import SEVIRDataModule  # noqa: E402
+from weatherforecastingtoolkit_tpu.data.prefetch import device_prefetch  # noqa: E402
+from weatherforecastingtoolkit_tpu.data.synthetic import make_synthetic_sevir  # noqa: E402
+from weatherforecastingtoolkit_tpu.models.forecasters import DLinear  # noqa: E402
+from weatherforecastingtoolkit_tpu.models.rollout import (evaluate_vs_persistence,  # noqa: E402
+                                                          make_eval_fn,
+                                                          make_forecast_pipeline)
+from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL  # noqa: E402
+from weatherforecastingtoolkit_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+
+def loop(loader, epochs=10**9):
+    for _ in range(epochs):
+        for batch in device_prefetch(loader):
+            yield batch
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--img-size", type=int, default=64)
+    p.add_argument("--events", type=int, default=32)
+    p.add_argument("--steps-ae", type=int, default=300)
+    p.add_argument("--steps-fc", type=int, default=300)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--t-in", type=int, default=8)
+    p.add_argument("--t-out", type=int, default=5)
+    args = p.parse_args(argv)
+
+    root = tempfile.mkdtemp(prefix="wx_demo_")
+    raw_seq = args.t_in + args.t_out
+    make_synthetic_sevir(root, num_events=args.events, height=args.img_size,
+                         width=args.img_size, raw_seq_len=max(raw_seq, 13))
+    dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=root,
+                         seq_len=raw_seq, stride=raw_seq, layout="NTCHW",
+                         batch_size=args.batch, num_workers=4,
+                         train_test_split_date=(2019, 7, 1), val_ratio=0.15)
+    dm.prepare_data()
+    dm.setup(stage="fit")
+    # synthetic events are weekly from Jan 1; keep a held-out tail as "test"
+    test_ds = dm.sevir_val
+
+    # -------------------------------------------------- stage 1: train the VAE
+    vae = AutoencoderKL(in_channels=1, out_channels=1,
+                        block_out_channels=(32, 64, 128, 128),
+                        layers_per_block=1, latent_channels=8,
+                        norm_num_groups=8)
+    rng = jax.random.key(0)
+    hw = args.img_size
+    vae_vars = vae.init(rng, jnp.zeros((1, 1, hw, hw)))
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        1e-5, 3e-4, 30, args.steps_ae, 1e-6), weight_decay=1e-4)
+    opt_state = tx.init(vae_vars)
+
+    @jax.jit
+    def ae_step(variables, opt_state, batch, key):
+        def loss_fn(v):
+            x = batch["vil"]
+            frames = x.reshape((-1,) + x.shape[2:])
+            recon, post = vae.apply(v, frames, sample_posterior=True,
+                                    rng=key, return_posterior=True)
+            rec = jnp.mean(jnp.abs(recon - frames))
+            return rec + 1e-6 * jnp.mean(post.kl()), rec
+        (loss, rec), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state, rec
+
+    t0 = time.time()
+    it = loop(dm.train_loader())
+    rec = None
+    for step in range(args.steps_ae):
+        rng, key = jax.random.split(rng)
+        vae_vars, opt_state, rec = ae_step(vae_vars, opt_state, next(it), key)
+        if step % 50 == 0:
+            print(f"[ae] step {step} rec_l1 {float(rec):.4f}", flush=True)
+    print(f"[ae] trained {args.steps_ae} steps in {time.time()-t0:.0f}s, "
+          f"final rec_l1 {float(rec):.4f}")
+
+    # ----------------------------------------- stage 2: train DLinear on latents
+    n_down = 3  # 4 blocks -> 3 downsamples
+    lat_hw = hw // (2 ** n_down)
+    d = 8 * lat_hw * lat_hw
+    fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
+    fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
+    fc_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        1e-4, 1e-3, 30, args.steps_fc, 1e-6), weight_decay=0.0)
+    fc_opt = fc_tx.init(fc_vars)
+
+    def encode_mode(frames):
+        return vae.apply(vae_vars, frames, method=vae.encode).mode()
+
+    def decode(latents):
+        return vae.apply(vae_vars, latents, method=vae.decode)
+
+    @jax.jit
+    def fc_step(fc_vars, fc_opt, batch):
+        def loss_fn(fv):
+            x = batch["vil"]
+            b, t = x.shape[:2]
+            z = encode_mode(x.reshape((-1,) + x.shape[2:])).reshape(b, t, -1)
+            inp, tgt = z[:, :args.t_in], z[:, args.t_in:]
+            anchor = inp[:, -1:]
+            pred = fc.apply(fv, inp - anchor)
+            return jnp.mean((pred - (tgt - anchor)) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(fc_vars)
+        updates, fc_opt2 = fc_tx.update(grads, fc_opt, fc_vars)
+        return optax.apply_updates(fc_vars, updates), fc_opt2, loss
+
+    t0 = time.time()
+    for step in range(args.steps_fc):
+        fc_vars, fc_opt, loss = fc_step(fc_vars, fc_opt, next(it))
+        if step % 50 == 0:
+            print(f"[fc] step {step} latent_mse {float(loss):.5f}", flush=True)
+    print(f"[fc] trained {args.steps_fc} steps in {time.time()-t0:.0f}s")
+
+    # ------------------------------------------------ stage 3: eval vs persistence
+    pipeline = make_forecast_pipeline(
+        encode_apply=encode_mode, decode_apply=decode,
+        forecaster_apply=lambda p_, z: fc.apply(p_, z),
+        input_frames=args.t_in, pred_frames=args.t_out)
+    eval_fn = make_eval_fn(pipeline, args.t_in, args.t_out)
+    from weatherforecastingtoolkit_tpu.data.prefetch import BatchLoader
+    eval_bs = max(1, min(args.batch, len(test_ds)))
+    test_batches = [jnp.asarray(b["vil"]) for b in
+                    BatchLoader(test_ds, eval_bs, num_workers=2)]
+    model_m, persist_m = evaluate_vs_persistence(eval_fn, fc_vars, test_batches)
+
+    headline = ["SSIM", "PSNR", "CRPS", "paper_CSI_M_POOL1", "paper_HSS_POOL1"]
+    higher = {"SSIM", "PSNR", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
+    print(f"\n{'metric':<22}{'model':>10}{'persistence':>13}{'better?':>9}")
+    wins = 0
+    for k in headline:
+        better = (model_m[k] > persist_m[k]) if k in higher else (model_m[k] < persist_m[k])
+        wins += int(better)
+        print(f"{k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}{str(better):>9}")
+    print(f"\nmodel beats persistence on {wins}/{len(headline)} headline metrics")
+    return wins
+
+
+if __name__ == "__main__":
+    main()

@@ -18,3 +18,8 @@ Design stance (not a port):
 """
 
 __version__ = "0.1.0"
+
+# Convenience re-exports of the primary public API. Heavier submodules
+# (models, training, data) are imported lazily by users to keep import cheap.
+from .metrics import calc_metrics  # noqa: E402,F401
+from .utils.config import Config  # noqa: E402,F401

@@ -17,6 +17,15 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 def enable_persistent_cache(path: str = None, min_compile_secs: float = 1.0) -> str:
     import jax
 
+    # CPU executables are AOT'd with host-specific machine features; reusing
+    # them across heterogeneous hosts risks SIGILL (observed: cached
+    # '+prefer-no-gather' artifacts on a host without it). Cache only
+    # accelerator backends, where compiles are the expensive ones anyway.
+    platforms = (os.environ.get("WX_PLATFORM")
+                 or str(jax.config.jax_platforms or "")).lower()
+    if platforms.startswith("cpu"):
+        return ""
+
     path = path or os.environ.get("WX_JAX_CACHE", _DEFAULT)
     os.makedirs(path, exist_ok=True)
     try:
