@@ -198,3 +198,15 @@ def test_device_memory_stats_shape():
     from weatherforecastingtoolkit_tpu.training.profiling import device_memory_stats
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_log_images_writes_panels(tmp_path, rng):
+    from weatherforecastingtoolkit_tpu.training.logging import RunLogger
+
+    logger = RunLogger(str(tmp_path / "run"))
+    pred = rng.random((2, 3, 1, 16, 16)).astype(np.float32)
+    tgt = rng.random((2, 3, 1, 16, 16)).astype(np.float32)
+    logger.log_images(pred, tgt, "val_panels", step=5, batch_idxs=2)
+    logger.close()
+    media = list((tmp_path / "run" / "media").glob("*.png"))
+    assert len(media) == 2  # one panel per sample
