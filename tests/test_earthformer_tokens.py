@@ -1,0 +1,93 @@
+"""Tests: Earthformer cuboid backbone + ViT token-sequence latent path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherforecastingtoolkit_tpu.models.earthformer import (CuboidBlock,
+                                                              Earthformer,
+                                                              _window_merge,
+                                                              _window_partition)
+from weatherforecastingtoolkit_tpu.models.token_forecaster import (
+    TokenSequenceForecaster)
+from weatherforecastingtoolkit_tpu.models.vit_ae import ViTAE
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 3, 8, 8, 5)).astype(np.float32))
+    tokens = _window_partition(x, 4, 4)
+    assert tokens.shape == (2 * 2 * 2, 3 * 4 * 4, 5)
+    back = _window_merge(tokens, 2, 3, 8, 8, 4, 4)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_cuboid_block(shifted, rng):
+    blk = CuboidBlock(dim=16, num_heads=4, window=(4, 4), shifted=shifted)
+    x = jnp.asarray(rng.random((1, 3, 8, 8, 16)).astype(np.float32))
+    y = blk.apply(blk.init(jax.random.key(0), x), x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_earthformer_forward(rng):
+    model = Earthformer(t_in=5, t_out=4, patch=8, dim=32, depth=2,
+                        num_heads=4, window=(2, 2))
+    x = jnp.asarray(rng.random((2, 5, 1, 32, 32)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 4, 1, 32, 32)
+    assert 0.0 <= float(y.min()) and float(y.max()) <= 1.0
+
+
+def test_earthformer_gradients(rng):
+    model = Earthformer(t_in=3, t_out=2, patch=8, dim=16, depth=2,
+                        num_heads=2, window=(2, 2))
+    x = jnp.asarray(rng.random((1, 3, 1, 16, 16)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((1, 2, 1, 16, 16)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+
+    def loss(p):
+        return jnp.mean((model.apply(p, x) - tgt) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+# ------------------------------------------------------- token-sequence path
+def test_vit_token_latent_roundtrip(rng):
+    model = ViTAE(img_size=32, patch=8, d_token=32, d_latent=64,
+                  depth_enc=1, depth_dec=1, heads=4, dropout=0.0)
+    x = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    tokens = model.apply(params, x, method=model.encode_tokens)
+    assert tokens.shape == (2, 16, 32)  # (B, n_patches, d_token)
+    recon = model.apply(params, tokens, method=model.decode_tokens)
+    assert recon.shape == (2, 1, 32, 32)
+
+
+def test_token_sequence_forecaster(rng):
+    fc = TokenSequenceForecaster(t_in=5, t_out=3, d_token=16, num_heads=4,
+                                 depth=1)
+    x = jnp.asarray(rng.random((2, 5, 8, 16)).astype(np.float32))
+    params = fc.init(jax.random.key(0), x)
+    y = fc.apply(params, x)
+    assert y.shape == (2, 3, 8, 16)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_token_forecaster_persistence_anchor(rng):
+    """With zero-init output projections the readout adds ~nothing and the
+    forecast falls back to the last frame's tokens (persistence-like prior)."""
+    fc = TokenSequenceForecaster(t_in=4, t_out=2, d_token=8, num_heads=2,
+                                 depth=1)
+    x = jnp.asarray(rng.random((1, 4, 4, 8)).astype(np.float32))
+    params = fc.init(jax.random.key(0), x)
+    y = fc.apply(params, x)
+    # anchor term present: prediction correlates with last input tokens
+    corr = np.corrcoef(np.asarray(y[0, 0]).ravel(),
+                       np.asarray(x[0, -1]).ravel())[0, 1]
+    assert corr > 0.1

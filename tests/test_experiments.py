@@ -12,6 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPERIMENTS = [
     "ae_recon", "ae_gan", "vae_gan_kl", "latent_dlinear", "latent_linear",
     "latent_convae", "latent_convattn", "mlp_intensity", "alphapre",
+    "earthformer",
 ]
 
 # tiny overrides so each smoke run compiles small programs and finishes fast
@@ -61,6 +62,10 @@ SPECIFIC = {
     "alphapre": ["model.input_shape=[32,32]", "model.dim=8",
                  "model.n_layers=1", "model.spec_num=3", "dataset.seq_len=8",
                  "model.T_in=5", "model.T_out=3"],
+    "earthformer": ["model.t_in=5", "model.t_out=3", "model.patch=8",
+                    "model.dim=16", "model.depth=2", "model.num_heads=2",
+                    "model.window=[2,2]", "dataset.seq_len=8",
+                    "physics_prior.enabled=true"],
 }
 
 
@@ -75,6 +80,23 @@ def test_experiment_smoke(exp, tmp_path):
     result = subprocess.run(
         [sys.executable, script, *overrides],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert result.returncode == 0, (
+        f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
+    assert "done" in result.stdout.splitlines()[-1]
+
+
+def test_latent_convae_gan_variant(tmp_path):
+    """The latent-space PatchGAN path (reference pretrained_ae_conv_disc)."""
+    script = os.path.join(REPO, "experiments", "latent_convae", "train.py")
+    overrides = COMMON + SPECIFIC["latent_convae"] + [
+        "lpips.enabled=true", "lpips.disc_num_layers=1", "lpips.disc_ndf=8",
+        "lpips.disc_start=0", f"experiment_path={tmp_path}/latent_convae_gan"]
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run([sys.executable, script, *overrides],
+                            capture_output=True, text=True, timeout=900,
+                            env=env, cwd=REPO)
     assert result.returncode == 0, (
         f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
     assert "done" in result.stdout.splitlines()[-1]

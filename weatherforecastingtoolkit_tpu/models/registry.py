@@ -34,6 +34,8 @@ def available_models():
 def _populate():
     from .alphapre import AlphaPre
     from .conv_ae import PosAwareAE, PosAwareAETF
+    from .earthformer import Earthformer
+    from .token_forecaster import TokenSequenceForecaster
     from .forecasters import DLinear, LinearForecaster, PerPixelLinear, TimeMLP
     from .latent_ae import ConvAttnModel, ConvModel
     from .legacy import StructuredConvAE
@@ -60,6 +62,9 @@ def _populate():
         "linear_forecaster": LinearForecaster,
         "per_pixel_linear": PerPixelLinear,
         "time_mlp": TimeMLP,
+        # spatio-temporal backbones
+        "earthformer": Earthformer,
+        "token_sequence_forecaster": TokenSequenceForecaster,
         # physics/spectral
         "alphapre": AlphaPre,
     }

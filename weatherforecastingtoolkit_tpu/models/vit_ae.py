@@ -57,13 +57,32 @@ class ViTAE(nn.Module):
                                         strides=(self.patch, self.patch),
                                         padding="VALID")
 
-    def encode(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """(B, C, H, W) -> (B, d_latent)."""
+    def encode_tokens(self, x: jnp.ndarray, deterministic: bool = True
+                      ) -> jnp.ndarray:
+        """(B, C, H, W) -> structured token latent (B, n_patches, d_token).
+
+        The [64, 512] token-sequence latent the reference README proposes for
+        Path B (README.md:96-109) — kept as a sequence instead of collapsing
+        to one vector, for token-sequence forecasters."""
         b = x.shape[0]
         z = self.patch_embed(nchw_to_nhwc(x))              # (B, g, g, d)
         z = z.reshape(b, self.n_patches, self.d_token)
         z = z + self.pos_embed
-        z = self.encoder(z, deterministic=deterministic)
+        return self.encoder(z, deterministic=deterministic)
+
+    def decode_tokens(self, tokens: jnp.ndarray, deterministic: bool = True
+                      ) -> jnp.ndarray:
+        """(B, n_patches, d_token) -> (B, C, H, W)."""
+        b = tokens.shape[0]
+        z = tokens + self.pos_embed
+        z = self.decoder(z, deterministic=deterministic)
+        z = z.reshape(b, self.grid, self.grid, self.d_token)
+        return nhwc_to_nchw(self.unpatch(z))
+
+    def encode(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """(B, C, H, W) -> (B, d_latent)."""
+        b = x.shape[0]
+        z = self.encode_tokens(x, deterministic=deterministic)
         q = jnp.broadcast_to(self.query_vec, (b, 1, self.d_latent))
         return self.to_latent(q, z)[:, 0]                   # (B, d_latent)
 

@@ -81,6 +81,10 @@ def advection_diffusion_loss(x: jnp.ndarray, u, v, kappa,
     b, t, c, h, w = x.shape
     if t < 2:
         raise ValueError("need at least 2 frames for a temporal difference")
+    if use_pallas and not interpret and jax.default_backend() == "cpu":
+        # compiled Pallas is TPU-only; on CPU the fused-XLA path is both
+        # supported and faster than interpret mode
+        use_pallas = False
     if not use_pallas:
         xs = x.reshape(b * c, t, h, w) if c != 1 else x[:, :, 0]
         return advection_diffusion_residual_xla(
