@@ -114,6 +114,14 @@ def main(exp_file: str, build_task: Callable,
 
         task = build_task(cfg, dm)
         trainer = Trainer(cfg, task, resume=resume)
+        # per-run code artifact (reference uploads train.py to W&B per run,
+        # ae_v2/train.py:325-327) — a copy in the run dir serves the same
+        # reproducibility purpose without the service dependency
+        import shutil
+        try:
+            shutil.copy2(exp_file, os.path.join(trainer.run_dir, "train.py"))
+        except OSError:
+            pass
         state = (init_state_fn(trainer, task) if init_state_fn
                  else trainer.init_state())
         state = trainer.fit(train_loader, val_loader, state=state)

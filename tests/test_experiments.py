@@ -12,7 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPERIMENTS = [
     "ae_recon", "ae_gan", "vae_gan_kl", "latent_dlinear", "latent_linear",
     "latent_convae", "latent_convattn", "mlp_intensity", "alphapre",
-    "earthformer",
+    "earthformer", "token_vit",
 ]
 
 # tiny overrides so each smoke run compiles small programs and finishes fast
@@ -62,6 +62,12 @@ SPECIFIC = {
     "alphapre": ["model.input_shape=[32,32]", "model.dim=8",
                  "model.n_layers=1", "model.spec_num=3", "dataset.seq_len=8",
                  "model.T_in=5", "model.T_out=3"],
+    "token_vit": ["vit_ae.img_size=32", "vit_ae.patch=8", "vit_ae.d_token=32",
+                  "vit_ae.d_latent=64", "vit_ae.depth_enc=1",
+                  "vit_ae.depth_dec=1", "vit_ae.heads=4",
+                  "forecaster.depth=1", "forecaster.num_heads=4",
+                  "dataset.seq_len=8", "dataset.input_frames=5",
+                  "dataset.pred_frames=3"],
     "earthformer": ["model.t_in=5", "model.t_out=3", "model.patch=8",
                     "model.dim=16", "model.depth=2", "model.num_heads=2",
                     "model.window=[2,2]", "dataset.seq_len=8",
