@@ -232,7 +232,9 @@ class Trainer:
                 if step % save_every == 0:
                     self.ckpt.save(step, jax.device_get(state))
                 if val_loader is not None and step % val_every == 0:
-                    self.validate(state, val_loader, step)
+                    # panels on the first val batch each cycle (the reference
+                    # logs VIL image panels at validation intervals)
+                    self.validate(state, val_loader, step, log_images=True)
                 if step >= self.total_steps:
                     done = True
                     break
