@@ -74,3 +74,47 @@ def test_prior_gradients(rng):
     f0 = float(f(x, jnp.asarray(0.2), jnp.asarray(0.1), jnp.asarray(0.05 - eps)))
     f1 = float(f(x, jnp.asarray(0.2), jnp.asarray(0.1), jnp.asarray(0.05 + eps)))
     assert float(gk) == pytest.approx((f1 - f0) / (2 * eps), rel=2e-2)
+
+
+# ------------------------------------------------------------ fused GroupNorm
+def test_fused_groupnorm_matches_flax(rng):
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from weatherforecastingtoolkit_tpu.ops.pallas.groupnorm import (
+        fused_group_norm_silu)
+
+    x = jnp.asarray(rng.random((2, 8, 8, 16)).astype(np.float32))
+    s = jnp.asarray(rng.random(16).astype(np.float32))
+    b = jnp.asarray(rng.random(16).astype(np.float32))
+    got = fused_group_norm_silu(x, s, b, groups=4, eps=1e-6, silu=False,
+                                interpret=True)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-6)
+    want = gn.apply({"params": {"scale": s, "bias": b}}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # silu fusion
+    got2 = fused_group_norm_silu(x, s, b, 4, 1e-6, True, True)
+    np.testing.assert_allclose(np.asarray(got2),
+                               np.asarray(want * jax.nn.sigmoid(want)),
+                               atol=1e-5)
+
+
+def test_fused_groupnorm_gradients(rng):
+    import jax
+    import jax.numpy as jnp
+    from weatherforecastingtoolkit_tpu.ops.pallas.groupnorm import (
+        fused_group_norm_silu)
+
+    x = jnp.asarray(rng.random((1, 4, 4, 8)).astype(np.float32))
+    s = jnp.ones((8,)); b = jnp.zeros((8,))
+
+    def f(x_, s_, b_):
+        return jnp.sum(fused_group_norm_silu(x_, s_, b_, 2, 1e-6, True, True) ** 2)
+
+    gx, gs, gb = jax.grad(f, argnums=(0, 1, 2))(x, s, b)
+    assert np.isfinite(np.asarray(gx)).all()
+    # finite-difference check on scale[0]
+    eps = 1e-3
+    e = jnp.zeros((8,)).at[0].set(eps)
+    fd = (float(f(x, s + e, b)) - float(f(x, s - e, b))) / (2 * eps)
+    assert float(gs[0]) == pytest.approx(fd, rel=2e-2)

@@ -39,18 +39,21 @@ class AutoencoderKL(nn.Module):
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
     use_slicing: bool = False  # accepted for API parity; no-op on TPU
+    fused_norm: bool = False   # Pallas fused GroupNorm+SiLU (same params)
 
     def setup(self):
         self.encoder = Encoder(
             out_channels=self.latent_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
-            norm_num_groups=self.norm_num_groups, double_z=True)
+            norm_num_groups=self.norm_num_groups, double_z=True,
+            fused_norm=self.fused_norm)
         self.decoder = Decoder(
             out_channels=self.out_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
-            norm_num_groups=self.norm_num_groups)
+            norm_num_groups=self.norm_num_groups,
+            fused_norm=self.fused_norm)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1))
 

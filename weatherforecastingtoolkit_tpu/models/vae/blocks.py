@@ -25,23 +25,50 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm followed by SiLU; optionally the fused Pallas kernel.
+
+    Parameter names ('scale', 'bias') match nn.GroupNorm exactly so fused and
+    unfused variants share checkpoints.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    fused: bool = False
+    silu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.fused:
+            from ...ops.pallas.groupnorm import fused_group_norm_silu
+
+            return fused_group_norm_silu(x, scale, bias, self.num_groups,
+                                         self.epsilon, self.silu)
+        from ...ops.pallas.groupnorm import _gn_silu_reference
+
+        return _gn_silu_reference(x, scale, bias, self.num_groups,
+                                  self.epsilon, self.silu)
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: Optional[int] = None
     groups: int = 32
     eps: float = 1e-6
     output_scale_factor: float = 1.0
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
-        h = nn.GroupNorm(num_groups=min(self.groups, in_ch), epsilon=self.eps,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(min(self.groups, in_ch), self.eps,
+                          fused=self.fused_norm, name="norm1")(x)
         h = nn.Conv(out_ch, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=min(self.groups, out_ch), epsilon=self.eps,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(min(self.groups, out_ch), self.eps,
+                          fused=self.fused_norm, name="norm2")(h)
         h = nn.Conv(out_ch, (3, 3), padding=1, name="conv2")(h)
         if in_ch != out_ch:
             x = nn.Conv(out_ch, (1, 1), name="conv_shortcut")(x)
@@ -151,12 +178,14 @@ class DownEncoderBlock2D(nn.Module):
     resnet_groups: int = 32
     resnet_eps: float = 1e-6
     add_downsample: bool = True
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, self.resnet_groups,
-                              self.resnet_eps, name=f"resnets_{i}")(x)
+                              self.resnet_eps, fused_norm=self.fused_norm,
+                              name=f"resnets_{i}")(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
         return x
@@ -168,12 +197,14 @@ class UpDecoderBlock2D(nn.Module):
     resnet_groups: int = 32
     resnet_eps: float = 1e-6
     add_upsample: bool = True
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, self.resnet_groups,
-                              self.resnet_eps, name=f"resnets_{i}")(x)
+                              self.resnet_eps, fused_norm=self.fused_norm,
+                              name=f"resnets_{i}")(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
         return x
@@ -185,17 +216,20 @@ class UNetMidBlock2D(nn.Module):
     attn_num_head_channels: Optional[int] = None
     output_scale_factor: float = 1.0
     num_layers: int = 1
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
         x = ResnetBlock2D(ch, self.resnet_groups, self.resnet_eps,
-                          self.output_scale_factor, name="resnets_0")(x)
+                          self.output_scale_factor,
+                          fused_norm=self.fused_norm, name="resnets_0")(x)
         for i in range(self.num_layers):
             x = AttentionBlock(self.attn_num_head_channels, self.resnet_groups,
                                rescale_output_factor=self.output_scale_factor,
                                name=f"attentions_{i}")(x)
             x = ResnetBlock2D(ch, self.resnet_groups, self.resnet_eps,
                               self.output_scale_factor,
+                              fused_norm=self.fused_norm,
                               name=f"resnets_{i + 1}")(x)
         return x

@@ -7,7 +7,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import DownEncoderBlock2D, UNetMidBlock2D, UpDecoderBlock2D
+from .blocks import (DownEncoderBlock2D, GroupNormSiLU, UNetMidBlock2D,
+                     UpDecoderBlock2D)
 
 
 class Encoder(nn.Module):
@@ -19,6 +20,7 @@ class Encoder(nn.Module):
     layers_per_block: int = 2
     norm_num_groups: int = 32
     double_z: bool = True
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -29,12 +31,12 @@ class Encoder(nn.Module):
             x = DownEncoderBlock2D(
                 out_channels=ch, num_layers=self.layers_per_block,
                 resnet_groups=self.norm_num_groups,
-                add_downsample=(i != n - 1), name=f"down_blocks_{i}")(x)
+                add_downsample=(i != n - 1), fused_norm=self.fused_norm,
+                name=f"down_blocks_{i}")(x)
         x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
-                           name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+                           fused_norm=self.fused_norm, name="mid_block")(x)
+        x = GroupNormSiLU(self.norm_num_groups, 1e-6, fused=self.fused_norm,
+                          name="conv_norm_out")(x)
         out_ch = 2 * self.out_channels if self.double_z else self.out_channels
         return nn.Conv(out_ch, (3, 3), padding=1, name="conv_out")(x)
 
@@ -47,20 +49,21 @@ class Decoder(nn.Module):
     block_out_channels: Sequence[int] = (64,)
     layers_per_block: int = 2
     norm_num_groups: int = 32
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         rev: Tuple[int, ...] = tuple(reversed(self.block_out_channels))
         x = nn.Conv(rev[0], (3, 3), padding=1, name="conv_in")(z)
         x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
-                           name="mid_block")(x)
+                           fused_norm=self.fused_norm, name="mid_block")(x)
         n = len(rev)
         for i, ch in enumerate(rev):
             x = UpDecoderBlock2D(
                 out_channels=ch, num_layers=self.layers_per_block + 1,
                 resnet_groups=self.norm_num_groups,
-                add_upsample=(i != n - 1), name=f"up_blocks_{i}")(x)
-        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+                add_upsample=(i != n - 1), fused_norm=self.fused_norm,
+                name=f"up_blocks_{i}")(x)
+        x = GroupNormSiLU(self.norm_num_groups, 1e-6, fused=self.fused_norm,
+                          name="conv_norm_out")(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out")(x)
