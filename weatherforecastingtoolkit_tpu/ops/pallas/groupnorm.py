@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -99,6 +100,11 @@ def fused_group_norm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-6,
     cheap elementwise work, and forward stays single-pass).
     """
     if jax.default_backend() == "cpu" and not interpret:
+        return _gn_silu_reference(x, scale, bias, groups, eps, silu)
+    # one frame must fit in VMEM with fp32 working copies (~4 live buffers
+    # incl. pipeline double-buffering); oversized layers use the XLA path
+    frame_bytes = int(np.prod(x.shape[1:])) * 4
+    if frame_bytes * 4 > 14 * 1024 * 1024:
         return _gn_silu_reference(x, scale, bias, groups, eps, silu)
     return _gn_silu_forward(x, scale, bias, groups, eps, silu, interpret)
 
