@@ -18,8 +18,6 @@ is available as the alternative exactly like the reference's `use_actnorm`.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,7 +14,7 @@ exact; with the same weights the outputs match torch LPIPS at fp32.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

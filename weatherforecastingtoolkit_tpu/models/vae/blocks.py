@@ -18,7 +18,7 @@ vae.py:47,117 sets temb_channels=None).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

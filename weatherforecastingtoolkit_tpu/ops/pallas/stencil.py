@@ -86,7 +86,6 @@ def advection_diffusion_loss(x: jnp.ndarray, u, v, kappa,
         # supported and faster than interpret mode
         use_pallas = False
     if not use_pallas:
-        xs = x.reshape(b * c, t, h, w) if c != 1 else x[:, :, 0]
         return advection_diffusion_residual_xla(
             x.transpose(0, 2, 1, 3, 4).reshape(b * c, t, h, w), u, v, kappa)
 

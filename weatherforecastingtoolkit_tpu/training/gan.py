@@ -188,7 +188,5 @@ def init_gan_state(trainer, task) -> TrainState:
     experiments call this instead of trainer.init_state().
     """
     state = trainer.init_state()
-    # recover disc_tx from the task closure by re-initializing
-    disc_params = state.params["disc"]
-    disc_tx = task.disc_tx
-    return state.replace(extra={"disc_opt_state": disc_tx.init(disc_params)})
+    return state.replace(
+        extra={"disc_opt_state": task.disc_tx.init(state.params["disc"])})
