@@ -248,3 +248,30 @@ def test_random_iterator(sevir_root):
     assert b1["vil"].shape == (3, 13, 1, 32, 32)
     assert not it.use_up  # random mode never exhausts
     assert not np.array_equal(b1["vil"], b2["vil"])
+
+
+# ------------------------------------------------------------- offline downsampler
+def test_save_downsampled_dataset(sevir_root, tmp_path):
+    from weatherforecastingtoolkit_tpu.data.downsample_writer import (
+        save_downsampled_dataset)
+
+    ds = SEVIRDataset(catalog=f"{sevir_root}/CATALOG.csv",
+                      data_dir=f"{sevir_root}/data", data_types=("vil",),
+                      seq_len=25, raw_seq_len=25, stride=12, layout="NTHW")
+    out = str(tmp_path / "down")
+    catalog = save_downsampled_dataset(ds, out, {"vil": (1, 2, 2)},
+                                       method="max", verbose=False)
+    # the downsampled tree loads with the normal dataset at half resolution
+    ds2 = SEVIRDataset(catalog=catalog, data_dir=f"{out}/data",
+                       data_types=("vil",), seq_len=25, raw_seq_len=25,
+                       stride=12, layout="NTHW")
+    assert len(ds2) == len(ds)
+    s2 = ds2[0]["vil"]
+    assert s2.shape == (25, 16, 16)  # 32 -> 16
+    # max pooling commutes with the 1/255 rescale: values must match exactly
+    s1 = ds[0]["vil"]  # (25, 32, 32)
+    manual = s1.reshape(25, 16, 2, 16, 2).max(axis=(2, 4))
+    np.testing.assert_allclose(s2, manual, atol=1e-6)
+    # dates preserved -> date-based splits survive
+    ev = ds2.events[0]
+    assert ev.time_utc is not None

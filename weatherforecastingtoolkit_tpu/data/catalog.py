@@ -25,6 +25,7 @@ class EventRecord:
     files: Dict[str, str] = field(default_factory=dict)    # img_type -> file_name
     indices: Dict[str, Union[int, str]] = field(default_factory=dict)
     # img_type -> file_index (int) or, for 'lght', the event id string key
+    time_utc: Optional[datetime.datetime] = None
 
 
 class EventIndex:
@@ -104,7 +105,9 @@ def build_event_index(
             continue  # missing a requested type
         if len(group) != len(data_types):
             continue  # duplicated rows: upstream data bug, drop whole event
-        rec = EventRecord(event_id=str(event_id))
+        rec = EventRecord(event_id=str(event_id),
+                          time_utc=group.time_utc.iloc[0].to_pydatetime()
+                          if "time_utc" in group else None)
         by_type = group.set_index("img_type")
         for t in data_types:
             row = by_type.loc[t]
