@@ -65,8 +65,9 @@ def main(argv=None):
 
     root = tempfile.mkdtemp(prefix="wx_demo_")
     raw_seq = args.t_in + args.t_out
+    # the sevirlr preset assumes raw_seq_len=25; the fixture must match it
     make_synthetic_sevir(root, num_events=args.events, height=args.img_size,
-                         width=args.img_size, raw_seq_len=max(raw_seq, 13))
+                         width=args.img_size, raw_seq_len=25)
     dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=root,
                          seq_len=raw_seq, stride=raw_seq, layout="NTCHW",
                          batch_size=args.batch, num_workers=4,
@@ -84,8 +85,10 @@ def main(argv=None):
     rng = jax.random.key(0)
     hw = args.img_size
     vae_vars = vae.init(rng, jnp.zeros((1, 1, hw, hw)))
+    warm_ae = max(1, min(30, args.steps_ae // 10))
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
-        1e-5, 3e-4, 30, args.steps_ae, 1e-6), weight_decay=1e-4)
+        1e-5, 3e-4, warm_ae, args.steps_ae + warm_ae + 1, 1e-6),
+        weight_decay=1e-4)
     opt_state = tx.init(vae_vars)
 
     @jax.jit
@@ -118,8 +121,10 @@ def main(argv=None):
     d = 8 * lat_hw * lat_hw
     fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
     fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
+    warm_fc = max(1, min(30, args.steps_fc // 10))
     fc_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
-        1e-4, 1e-3, 30, args.steps_fc, 1e-6), weight_decay=0.0)
+        1e-4, 1e-3, warm_fc, args.steps_fc + warm_fc + 1, 1e-6),
+        weight_decay=0.0)
     fc_opt = fc_tx.init(fc_vars)
 
     def encode_mode(frames):
@@ -161,15 +166,39 @@ def main(argv=None):
                     BatchLoader(test_ds, eval_bs, num_workers=2)]
     model_m, persist_m = evaluate_vs_persistence(eval_fn, fc_vars, test_batches)
 
+    # VAE-roundtrip ceiling: the best any latent forecaster could score given
+    # this autoencoder (encode+decode the TARGET frames and score vs raw)
+    from weatherforecastingtoolkit_tpu.metrics import calc_metrics
+
+    @jax.jit
+    def roundtrip(seq):
+        tgt = seq[:, args.t_in:args.t_in + args.t_out]
+        b, t = tgt.shape[:2]
+        flat = tgt.reshape((b * t,) + tgt.shape[2:])
+        rec = decode(encode_mode(flat))
+        return rec.reshape(tgt.shape), tgt
+
+    ceil_sums, nb = {}, 0
+    for seq in test_batches:
+        rec, tgt = roundtrip(seq)
+        for k, v in calc_metrics(rec, tgt).items():
+            ceil_sums[k] = ceil_sums.get(k, 0.0) + v
+        nb += 1
+    ceil_m = {k: v / nb for k, v in ceil_sums.items()}
+
     headline = ["SSIM", "PSNR", "CRPS", "paper_CSI_M_POOL1", "paper_HSS_POOL1"]
     higher = {"SSIM", "PSNR", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
-    print(f"\n{'metric':<22}{'model':>10}{'persistence':>13}{'better?':>9}")
+    print(f"\n{'metric':<22}{'model':>10}{'persistence':>13}{'vae-ceiling':>13}"
+          f"{'better?':>9}")
     wins = 0
     for k in headline:
         better = (model_m[k] > persist_m[k]) if k in higher else (model_m[k] < persist_m[k])
         wins += int(better)
-        print(f"{k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}{str(better):>9}")
+        print(f"{k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}"
+              f"{ceil_m[k]:>13.4f}{str(better):>9}")
     print(f"\nmodel beats persistence on {wins}/{len(headline)} headline metrics")
+    print("(vae-ceiling = metrics of encode->decode roundtrip of the target "
+          "frames: the autoencoder's upper bound for ANY latent forecaster)")
     return wins
 
 

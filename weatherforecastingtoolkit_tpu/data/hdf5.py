@@ -63,6 +63,11 @@ class SEVIRReader:
             full = lght_to_grid(pts)  # (48, 48, T_all)
             return full[:, :, t_slice]
         ds = self._handle(fname)[img_type]
+        if t_slice.stop is not None and t_slice.stop > ds.shape[-1]:
+            # h5py silently truncates overflowing slices -> ragged batches
+            raise IndexError(
+                f"window [{t_slice.start}:{t_slice.stop}] exceeds raw_seq_len "
+                f"{ds.shape[-1]} of {fname}; check the dataset's raw_seq_len")
         return ds[idx, :, :, t_slice]
 
     def read_event(self, event: EventRecord,
