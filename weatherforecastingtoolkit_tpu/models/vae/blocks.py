@@ -96,7 +96,11 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.out_channels or x.shape[-1]
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        # nearest-neighbor 2x via broadcast+reshape: identical values to
+        # jax.image.resize(method='nearest') but lowers to a copy-free
+        # broadcast instead of a gather
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+                             ).reshape(b, 2 * h, 2 * w, c)
         return nn.Conv(out_ch, (3, 3), padding=1, name="conv")(x)
 
 
