@@ -50,3 +50,11 @@ def test_bool_and_null_parsing():
     cfg = cfg.merged_dotlist(["a.flag=true", "a.opt=null"])
     assert cfg.a.flag is True
     assert cfg.a.opt is None
+
+
+def test_get_and_set_dotted():
+    cfg = Config(BASE)
+    assert cfg.get_dotted("optim.lr") == 1e-3
+    assert cfg.get_dotted("optim.missing", 42) == 42
+    cfg.set_dotted("new.nested.key", 7)
+    assert cfg.new.nested.key == 7

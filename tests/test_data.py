@@ -275,3 +275,12 @@ def test_save_downsampled_dataset(sevir_root, tmp_path):
     # dates preserved -> date-based splits survive
     ev = ds2.events[0]
     assert ev.time_utc is not None
+
+
+def test_dataset_runtime_downsample(sevir_root):
+    ds = SEVIRDataset(catalog=f"{sevir_root}/CATALOG.csv",
+                      data_dir=f"{sevir_root}/data", data_types=("vil",),
+                      seq_len=24, raw_seq_len=25, stride=12, layout="NTHW",
+                      downsample={"vil": (2, 2, 2)})
+    s = ds[0]["vil"]
+    assert s.shape == (12, 16, 16)  # T 24->12, HW 32->16

@@ -145,3 +145,16 @@ def test_calc_metrics_ensemble_axis(rng):
     target = rng.random((2, 5, 1, 32, 32)).astype(np.float32)
     m = calc_metrics(pred, target)
     assert np.isfinite(m["CRPS"]) and np.isfinite(m["SSIM"])
+
+
+def test_csi_hss_max_pooling(rng):
+    pred = rng.random((1, 2, 1, 16, 16)).astype(np.float32)
+    target = rng.random((1, 2, 1, 16, 16)).astype(np.float32)
+    v_avg = csi(pred, target, 0.5, "avg", 4)
+    v_max = csi(pred, target, 0.5, "max", 4)
+    assert 0.0 <= v_avg <= 1.0 and 0.0 <= v_max <= 1.0
+    # identical fields: CSI is 1 whenever any exceedance exists; HSS needs
+    # BOTH classes present (all-hit fields give TN=0 -> HSS=0, the reference
+    # formula's degenerate case), so use a high threshold that splits classes
+    assert csi(pred, pred, 0.5, "max", 4) == pytest.approx(1.0, abs=1e-5)
+    assert hss(pred, pred, 0.95, "max", 4) == pytest.approx(1.0, abs=1e-4)
