@@ -216,7 +216,12 @@ def get_baseline_fps():
         with open(BASELINE_CACHE) as f:
             return json.load(f)["torch_cpu_fps"]
     log("measuring torch reference baseline (one-time, cached) ...")
-    fps = bench_torch_reference()
+    try:
+        fps = bench_torch_reference()
+    except Exception as e:  # noqa: BLE001 — reference tree/torch may be absent
+        log(f"baseline measurement unavailable ({type(e).__name__}: {e}); "
+            "using the last recorded value")
+        return 1.6757  # measured on this container 2026-08-16 (see RESULTS.md)
     try:
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"torch_cpu_fps": fps, "note":
