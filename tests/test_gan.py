@@ -110,24 +110,94 @@ def test_gan_step_end_to_end(gan_setup, rng):
     state = init_gan_state(trainer, task)
 
     batch = {"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
-    d0 = jax.tree_util.tree_leaves(state.params["disc"])[0].copy()
+    d0 = jax.tree_util.tree_leaves(state.extra["disc_params"])[0].copy()
     g0 = jax.tree_util.tree_leaves(state.params["gen"])[0].copy()
+    opt0 = jax.device_get(state.extra["disc_opt_state"])
 
     # step 0 (< disc_start=2): generator trains, disc frozen, d_weight inert
     state, aux = trainer._train_step(state, batch)
     assert float(aux["disc_factor"]) == 0.0
-    d1 = jax.tree_util.tree_leaves(state.params["disc"])[0]
+    d1 = jax.tree_util.tree_leaves(state.extra["disc_params"])[0]
     g1 = jax.tree_util.tree_leaves(state.params["gen"])[0]
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))  # disc gated
     assert not np.allclose(np.asarray(g0), np.asarray(g1))         # gen moved
+    # disc optimizer MOMENTS must stay exactly at init before disc_start
+    # (the reference backprops disc_factor=0 * d_loss, so torch Adam's
+    # exp_avg/exp_avg_sq stay zero — contperceptual.py:163)
+    opt1 = jax.device_get(state.extra["disc_opt_state"])
+    for a, b in zip(jax.tree_util.tree_leaves(opt0),
+                    jax.tree_util.tree_leaves(opt1)):
+        if np.asarray(a).dtype.kind == "f":  # counts may advance; moments not
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # advance past disc_start: both train
     state, aux = trainer._train_step(state, batch)
     state, aux = trainer._train_step(state, batch)
     assert float(aux["disc_factor"]) == 1.0
     assert float(aux["d_weight"]) > 0.0
-    d2 = jax.tree_util.tree_leaves(state.params["disc"])[0]
+    d2 = jax.tree_util.tree_leaves(state.extra["disc_params"])[0]
     assert not np.allclose(np.asarray(d1), np.asarray(d2))          # disc moved
     assert np.isfinite(float(aux["loss"]))
     assert np.isfinite(float(aux["disc_loss"]))
     trainer.close()
+
+
+def test_gan_resume_restores_disc_state(gan_setup, rng, tmp_path):
+    """--resume on a GAN run must restore the discriminator params AND its
+    optimizer state (round-1 bug: the resume template lacked extra, orbax
+    raised a tree mismatch, and the run silently restarted from step 0)."""
+    cfg, task = gan_setup
+    cfg = Config(cfg).merge({"experiment_path": str(tmp_path),
+                             "experiment_name": "gan_resume"})
+    trainer = Trainer(cfg, task)
+    state = trainer.init_state()
+    batch = {"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+    for _ in range(3):  # past disc_start=2 so disc opt state is non-trivial
+        state, _aux = trainer._train_step(state, batch)
+    trainer.ckpt.save(int(state.step), jax.device_get(state), force=True)
+    trainer.close()
+
+    trainer2 = Trainer(cfg, task, resume=True)
+    restored = trainer2.init_state()
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.extra)),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.extra))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    trainer2.close()
+
+
+def test_gan_nll_is_per_sample_sum(gan_setup, rng):
+    """With kl_weight set, the NLL must be sum-per-sample/batch (reference
+    contperceptual.py:108-112), not a per-element mean."""
+    from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator
+    from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+
+    gen = PosAwareAE(enc_channels=(8, 16), dec_channels=(16, 8, 8),
+                     num_blocks=1, latent_hw=8, latent_channels=4, latent_dim=32)
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=2)
+
+    def generator_apply(params, frames, rng_):
+        recon, _z = gen.apply(params, frames)
+        return recon, jnp.zeros((frames.shape[0],))  # zero KL for the check
+
+    task = make_vae_gan_task(
+        name="gan_nll_scale",
+        generator_apply=generator_apply,
+        gen_init=lambda r: gen.init(r, jnp.zeros((1, 1, 32, 32))),
+        disc_apply=lambda p, f: disc.apply(p, f),
+        disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, 32, 32))),
+        disc_tx=optax.adam(1e-4),
+        last_layer_path=("params", "dec_out", "kernel"),
+        kl_weight=1e-6, disc_start=10)
+
+    params = task.init_params(jax.random.key(0))
+    batch = {"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+    total, aux = task.loss_fn(params, batch, jax.random.key(1), 0)
+    # logvar starts at 0 => nll == sum(|recon-x|)/B == rec_mean * C*H*W*T
+    per_elem = float(aux["rec_loss"])
+    elems_per_sample = 1 * 32 * 32  # per frame; batch axis is B*T
+    assert float(aux["nll_loss"]) == pytest.approx(per_elem * elems_per_sample,
+                                                   rel=1e-5)

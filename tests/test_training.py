@@ -150,6 +150,32 @@ def test_train_loop_end_to_end(tiny_cfg):
     trainer2.close()
 
 
+def test_accumulation_counts_optimizer_updates(tiny_cfg, rng):
+    """total_train_steps counts OPTIMIZER UPDATES: with
+    accumulate_grad_batches=k, fit() must run k*total micro-steps and the
+    inner optimizer must have advanced exactly `total` times (round-1 bug:
+    fit stopped at total micro-steps = total/k updates)."""
+    import optax
+
+    cfg = Config(tiny_cfg).merge({
+        "experiment_name": "tiny_accum",
+        "trainer": {"accumulate_grad_batches": 2, "total_train_steps": 3,
+                    "max_epochs": 1},
+        "logging": {"log_every_n_steps": 1, "val_every_n": 10.0},
+    })
+    task = reconstruction_task(_tiny_model(), loss="l1")
+    trainer = Trainer(cfg, task)
+    batches = [{"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+               for _ in range(10)]
+    state = trainer.fit(batches)
+    assert int(state.step) == 6  # 3 updates x 2 micro-steps
+    # the MultiSteps wrapper records completed optimizer updates
+    flat = jax.tree_util.tree_leaves_with_path(jax.device_get(state.opt_state))
+    gradient_steps = [v for p, v in flat if "gradient_step" in jax.tree_util.keystr(p)]
+    assert gradient_steps and int(gradient_steps[0]) == 3
+    trainer.close()
+
+
 def test_validate_produces_metric_dict(tiny_cfg):
     dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=tiny_cfg.sevir_root,
                          seq_len=13, stride=12, layout="NTCHW", batch_size=2,

@@ -45,6 +45,10 @@ class CheckpointManager:
                                                  create=True))
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
+        if step in self._mgr.all_steps():
+            if not force:
+                return  # periodic save already wrote this step
+            self._mgr.delete(step)  # save_last semantics: overwrite
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
         self._mgr.wait_until_finished()
 
@@ -86,14 +90,35 @@ def find_latest_ckpt(experiment_path: str, experiment_name: str, target: Any
                                    os.path.join(base, d), int(item)))
     candidates.sort(reverse=True)
 
+    mismatches = []
     for _, run_id, run_dir, step in candidates:
         try:
             mgr = CheckpointManager(run_dir)
             state = mgr.restore(target, step=step)
             mgr.close()
             return state, run_id, step
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — classify, don't swallow silently
+            # Distinguish "the saved tree doesn't match the resume template"
+            # (a code/config bug — e.g. a task whose extra isn't in the
+            # template) from genuine corruption. Both are skipped, but
+            # mismatches get a loud diagnostic instead of a silent restart.
+            text = f"{type(e).__name__}: {e}"
+            low = text.lower()
+            structural = any(s in low for s in
+                             ("structure", "mismatch", "treedef", "custom node",
+                              "not found in structure", "pytree"))
+            kind = "TEMPLATE MISMATCH" if structural else "corrupt/unreadable"
+            print(f"[ckpt] skipping run-{run_id} step {step}: {kind} "
+                  f"({text.splitlines()[0][:200]})")
+            if structural:
+                mismatches.append((run_id, step, text))
             continue
+    if mismatches:
+        print("[ckpt] WARNING: checkpoints exist but NONE match the resume "
+              "template — this is a model/optimizer/task structure change, "
+              "not corruption. Resuming from scratch would lose "
+              f"{len(mismatches)} checkpoint(s); first error:\n"
+              f"  {mismatches[0][2].splitlines()[0][:300]}")
     return None, None, None
 
 

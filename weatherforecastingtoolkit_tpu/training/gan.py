@@ -12,10 +12,29 @@ TPU-first design: ONE compiled program per step does
   -> generator update -> backward(d_loss) -> gated discriminator update.
 The adaptive weight needs ∇rec and ∇adv separately anyway, so combining them
 linearly afterwards costs nothing extra vs the reference's
-2x autograd.grad + full backward. The disc-start gate is jnp.where masking of
-the update (jit-safe), not a python branch: before `disc_start` the generator
-sees only the reconstruction objective and the discriminator's update is
-zeroed, matching `adopt_weight` semantics.
+2x autograd.grad + full backward.
+
+State layout: the generator (and logvar) live in `state.params` and are the
+ONLY thing the trainer's optimizer tracks; the discriminator's params and its
+own optimizer state live in `state.extra` (built by Task.init_extra so resume
+templates include them). This keeps disc slots out of the generator's AdamW
+(no wasted HBM, no weight-decay leak) and makes `--resume` restore both
+optimizers.
+
+`adopt_weight` semantics match the reference exactly
+(contperceptual.py:13-16,163): before `disc_start` the discriminator's
+GRADIENTS are zeroed (so its Adam moments stay at init, as they do when torch
+backprops a 0-multiplied loss) and its updates are additionally zeroed (so a
+decoupled weight decay can't leak). Everything is jnp.where masking — jit-safe,
+no python branch on the traced step.
+
+Loss scale matches the reference: with KL, the NLL is a PER-SAMPLE SUM,
+batch-averaged (`torch.sum(nll)/batch`, contperceptual.py:108-112), and the
+KL term is the per-sample sum over latent dims, batch-averaged
+(contperceptual.py:113-117). The perceptual distance is broadcast-added to
+the elementwise reconstruction map BEFORE the reduction
+(contperceptual.py:103-106), so it carries the same H*W*C weight as in the
+reference.
 """
 
 from __future__ import annotations
@@ -26,7 +45,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.losses.gan import adaptive_weight, hinge_d_loss, vanilla_d_loss
+from ..models.losses.gan import (adaptive_weight, adopt_weight, hinge_d_loss,
+                                 vanilla_d_loss)
 from .trainer import Task, TrainState
 
 
@@ -35,6 +55,22 @@ def leaf_by_path(tree, path: Tuple[str, ...]):
     for p in path:
         node = node[p]
     return node
+
+
+def pixel_loss_map(kind: str) -> Callable:
+    """Elementwise (un-reduced) pixel losses — the reference keeps the
+    reconstruction loss as a map until the final NLL reduction."""
+    if kind == "l1":
+        return lambda a, b: jnp.abs(a - b)
+    if kind == "mse":
+        return lambda a, b: (a - b) ** 2
+    if kind == "huber":
+        def huber(a, b, delta=1.0):
+            d = a - b
+            ad = jnp.abs(d)
+            return jnp.where(ad <= delta, 0.5 * d * d, delta * (ad - 0.5 * delta))
+        return huber
+    raise ValueError(kind)
 
 
 def make_vae_gan_task(
@@ -62,31 +98,40 @@ def make_vae_gan_task(
     d_loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
     use_kl = kl_weight is not None
 
-    from .tasks import dequantize, pixel_loss as make_pixel_loss
-    px = make_pixel_loss(pixel_loss)
+    from .tasks import dequantize
+    px_map = pixel_loss_map(pixel_loss)
 
     def _frames(x):
         b, t = x.shape[:2]
         return x.reshape((b * t,) + x.shape[2:])
 
     def init_params(rng):
-        g_rng, d_rng = jax.random.split(rng)
-        params = {"gen": gen_init(g_rng), "disc": disc_init(d_rng)}
+        params = {"gen": gen_init(rng)}
         if use_kl:
             params["logvar"] = jnp.zeros(())
         return params
 
+    def init_extra(rng, params):
+        disc_params = disc_init(rng)
+        return {"disc_params": disc_params,
+                "disc_opt_state": disc_tx.init(disc_params)}
+
     # ---- losses --------------------------------------------------------------
     def rec_loss_fn(gen_params, logvar, frames, rng):
         recon, kl = generator_apply(gen_params, frames, rng)
-        rec = recon_weight * px(recon, frames)
+        rec_map = recon_weight * px_map(recon, frames)
         if perceptual_apply is not None and perceptual_weight > 0:
             a = jnp.repeat(recon, 3, axis=1) if recon.shape[1] == 1 else recon
             b = jnp.repeat(frames, 3, axis=1) if frames.shape[1] == 1 else frames
-            rec = rec + perceptual_weight * jnp.mean(perceptual_apply(a, b))
+            # (B,1,1,1) broadcast onto the elementwise map, as the reference
+            # does before its sum-reduction (contperceptual.py:103-106)
+            rec_map = rec_map + perceptual_weight * perceptual_apply(a, b)
+        rec = jnp.mean(rec_map)
         aux = {"rec_loss": rec}
         if use_kl:
-            nll = rec / jnp.exp(logvar) + logvar
+            # torch.sum(nll)/batch — per-sample sum, batch mean
+            nll_map = rec_map / jnp.exp(logvar) + logvar
+            nll = jnp.sum(nll_map) / frames.shape[0]
             kl_term = jnp.mean(kl) if kl is not None else 0.0
             total = nll + kl_weight * kl_term
             aux.update({"nll_loss": nll, "kl_loss": kl_term, "logvar": logvar})
@@ -107,9 +152,10 @@ def make_vae_gan_task(
 
     # ---- the single jitted two-optimizer step ----------------------------------
     def custom_train_step(state: TrainState, batch, tx):
-        rng, g_rng, a_rng = jax.random.split(state.rng, 3)
+        rng, g_rng = jax.random.split(state.rng)
         frames = _frames(dequantize(batch[key]))
         params = state.params
+        disc_params = state.extra["disc_params"]
         logvar = params.get("logvar", jnp.zeros(()))
 
         # backward 1: reconstruction objective (w.r.t. gen [+ logvar])
@@ -123,43 +169,46 @@ def make_vae_gan_task(
 
         # backward 2: adversarial objective (same rng -> same recon path)
         g_loss, adv_gen_grads = jax.value_and_grad(g_adv_loss_fn)(
-            params["gen"], frames, params["disc"], g_rng)
+            params["gen"], frames, disc_params, g_rng)
 
         # adaptive weight from the last decoder layer's two gradient leaves
         d_w = adaptive_weight(leaf_by_path(rec_gen_grads, last_layer_path),
                               leaf_by_path(adv_gen_grads, last_layer_path),
                               disc_weight)
-        gate = jnp.where(state.step >= disc_start, disc_factor, 0.0)
+        gate = adopt_weight(disc_factor, state.step, disc_start)
         gen_grads = jax.tree_util.tree_map(
             lambda gr, ga: gr + d_w * gate * ga, rec_gen_grads, adv_gen_grads)
 
-        grads = {"gen": gen_grads,
-                 "disc": jax.tree_util.tree_map(jnp.zeros_like, params["disc"])}
+        grads = {"gen": gen_grads}
         if use_kl:
             grads["logvar"] = logvar_grad
         updates, opt_state = tx.update(grads, state.opt_state, params)
-        # mask out the (zero-grad) disc slot so weight decay can't leak in
-        updates["disc"] = jax.tree_util.tree_map(jnp.zeros_like, updates["disc"])
         new_params = optax.apply_updates(params, updates)
 
-        # backward 3: discriminator on detached recon, gated by disc_start
+        # backward 3: discriminator on detached recon, gated by disc_start.
+        # Gate the GRADIENTS (not just the update) so the disc optimizer's
+        # moments stay exactly at init until disc_start — identical to the
+        # reference backpropagating disc_factor * d_loss with disc_factor=0.
+        d_gate = adopt_weight(1.0, state.step, disc_start)
         (d_loss, (lr_, lf_)), d_grads = jax.value_and_grad(
-            d_loss_full, has_aux=True)(params["disc"], frames, recon)
+            d_loss_full, has_aux=True)(disc_params, frames, recon)
+        d_grads = jax.tree_util.tree_map(lambda g: g * d_gate, d_grads)
         d_updates, d_opt_state = disc_tx.update(
-            d_grads, state.extra["disc_opt_state"], params["disc"])
-        d_gate = jnp.where(state.step >= disc_start, 1.0, 0.0)
+            d_grads, state.extra["disc_opt_state"], disc_params)
+        # also zero the update so a decoupled weight decay can't leak
         d_updates = jax.tree_util.tree_map(lambda u: u * d_gate, d_updates)
-        new_params["disc"] = optax.apply_updates(new_params["disc"], d_updates)
+        new_disc = optax.apply_updates(disc_params, d_updates)
 
         aux = dict(aux)
         aux.update({"loss": rec_total + d_w * gate * g_loss, "g_loss": g_loss,
-                    "d_weight": d_w, "disc_loss": d_loss,
+                    "d_weight": d_w, "disc_loss": d_gate * d_loss,
                     "logits_real": lr_, "logits_fake": lf_,
                     "disc_factor": gate,
                     "grad_norm": optax.global_norm(gen_grads)})
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=opt_state,
-            rng=rng, extra={"disc_opt_state": d_opt_state})
+            rng=rng, extra={"disc_params": new_disc,
+                            "disc_opt_state": d_opt_state})
         return new_state, aux
 
     def eval_fn(params, batch, rng):
@@ -175,18 +224,13 @@ def make_vae_gan_task(
         total, (_recon, aux) = rec_loss_fn(params["gen"], logvar, frames, rng)
         return total, aux
 
-    task = Task(name=name, init_params=init_params, loss_fn=loss_fn,
-                eval_fn=eval_fn, custom_train_step=custom_train_step)
-    task.disc_tx = disc_tx  # init_gan_state needs it to build the extra slot
-    return task
+    return Task(name=name, init_params=init_params, loss_fn=loss_fn,
+                eval_fn=eval_fn, custom_train_step=custom_train_step,
+                init_extra=init_extra)
 
 
 def init_gan_state(trainer, task) -> TrainState:
-    """Initialize a TrainState whose extra carries the disc optimizer state.
-
-    The Trainer's generic init doesn't know about the second optimizer; GAN
-    experiments call this instead of trainer.init_state().
-    """
-    state = trainer.init_state()
-    return state.replace(
-        extra={"disc_opt_state": task.disc_tx.init(state.params["disc"])})
+    """Deprecated shim: the Trainer now builds the discriminator state itself
+    via Task.init_extra (and resume restores it). Kept so existing experiment
+    scripts that pass `init_state_fn=init_gan_state` keep working."""
+    return trainer.init_state()

@@ -57,6 +57,10 @@ class Task:
     eval_fn: Optional[Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]] = None
     # optional fully-custom step: (state, batch, tx) -> (state, aux)
     custom_train_step: Optional[Callable] = None
+    # optional extra-state builder: (rng, params) -> pytree stored in
+    # TrainState.extra (e.g. a GAN's discriminator params + optimizer state).
+    # The Trainer builds it at init so resume templates include it.
+    init_extra: Optional[Callable] = None
 
 
 def build_optimizer(cfg: Config, total_steps: int):
@@ -139,10 +143,13 @@ class Trainer:
 
     # -- state ----------------------------------------------------------------
     def _init_state(self, rng: jax.Array) -> TrainState:
-        p_rng, s_rng = jax.random.split(rng)
+        p_rng, e_rng, s_rng = jax.random.split(rng, 3)
         params = self.task.init_params(p_rng)
+        extra = (self.task.init_extra(e_rng, params)
+                 if self.task.init_extra is not None else None)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          opt_state=self.tx.init(params), rng=s_rng)
+                          opt_state=self.tx.init(params), rng=s_rng,
+                          extra=extra)
 
     def init_state(self) -> TrainState:
         if self._resume_state is not None:
@@ -197,11 +204,15 @@ class Trainer:
         cfg = self.cfg
         state = state if state is not None else self.init_state()
         start_step = int(state.step)
-        log_every = max(1, int(cfg.logging.get("log_every_n_steps", 50)))
-        save_every = max(1, int(self.total_steps *
-                                float(cfg.trainer.get("save_every_n_steps", 0.1))))
-        val_every = max(1, int(self.total_steps *
-                               float(cfg.logging.get("val_every_n", 0.25))))
+        # state.step counts MICRO-steps (one per batch); total_train_steps
+        # counts OPTIMIZER UPDATES (derive_steps already divided by accum), so
+        # every cadence and the stop condition are scaled by `accum`.
+        accum = max(1, int(cfg.trainer.get("accumulate_grad_batches", 1)))
+        log_every = accum * max(1, int(cfg.logging.get("log_every_n_steps", 50)))
+        save_every = accum * max(1, int(self.total_steps *
+                                 float(cfg.trainer.get("save_every_n_steps", 0.1))))
+        val_every = accum * max(1, int(self.total_steps *
+                                float(cfg.logging.get("val_every_n", 0.25))))
         limit = cfg.trainer.get("limit_train_batches", None)
         epochs = int(cfg.trainer.max_epochs)
         sharding = self.batch_sharding()
@@ -222,10 +233,12 @@ class Trainer:
                     break
                 state, aux = self._train_step(state, batch)
                 step = int(state.step)
+                updates = step // accum  # optimizer updates so far
                 if step % log_every == 0:
                     aux = {k: float(v) for k, v in jax.device_get(aux).items()}
-                    aux["lr"] = float(self.schedule(step)) if callable(self.schedule) \
-                        else float(self.schedule)
+                    # the schedule advances once per optimizer update
+                    aux["lr"] = float(self.schedule(updates)) \
+                        if callable(self.schedule) else float(self.schedule)
                     aux["steps_per_sec"] = log_every / max(1e-9, time.time() - t_last)
                     t_last = time.time()
                     self.logger.log_scalars(aux, step, prefix="train")
@@ -235,7 +248,7 @@ class Trainer:
                     # panels on the first val batch each cycle (the reference
                     # logs VIL image panels at validation intervals)
                     self.validate(state, val_loader, step, log_images=True)
-                if step >= self.total_steps:
+                if updates >= self.total_steps:
                     done = True
                     break
         # save_last semantics
