@@ -46,6 +46,34 @@ def build_task(cfg, dm):
                                n_layers=cfg.lpips.disc_num_layers)
     disc_tx = optax.adam(cfg.lpips.get("disc_lr", 4.5e-5), b1=0.5, b2=0.9)
 
+    # perceptual (LPIPS) term — reference losses/contperceptual.py:103-106,
+    # weights auto-downloaded there (losses/util.py:5-45); here they are
+    # user-provided torch files (no egress in this environment)
+    perceptual_apply = None
+    if float(cfg.lpips.get("perceptual_weight", 0.0)) > 0:
+        import jax
+
+        from weatherforecastingtoolkit_tpu.models.losses.lpips import (
+            LPIPS, lpips_params_from_torch)
+
+        lpips = LPIPS()
+        vgg_path = cfg.lpips.get("vgg_path", None)
+        lin_path = cfg.lpips.get("lin_path", None)
+        if vgg_path and lin_path:
+            from weatherforecastingtoolkit_tpu.training.checkpoint import (
+                load_torch_state_dict)
+            lp_vars = lpips_params_from_torch(load_torch_state_dict(str(vgg_path)),
+                                              load_torch_state_dict(str(lin_path)))
+            print(f"[lpips] loaded VGG weights from {vgg_path}")
+        else:
+            print("[lpips] WARNING: perceptual_weight > 0 but no "
+                  "lpips.vgg_path/lin_path — using randomly initialized LPIPS "
+                  "(wiring smoke only; provide torch weight files for a real "
+                  "perceptual loss)")
+            z = jnp.zeros((1, 3, hw, hw))
+            lp_vars = lpips.init(jax.random.key(0), z, z)
+        perceptual_apply = lambda a, b: lpips.apply(lp_vars, a, b)  # noqa: E731
+
     return make_vae_gan_task(
         name=cfg.experiment_name,
         generator_apply=generator_apply,
@@ -56,6 +84,7 @@ def build_task(cfg, dm):
         last_layer_path=last_layer,
         eval_apply=eval_apply,
         recon_weight=cfg.lpips.get("recon_weight", 1.0),
+        perceptual_apply=perceptual_apply,
         perceptual_weight=cfg.lpips.get("perceptual_weight", 0.0),
         kl_weight=cfg.lpips.get("kl_weight", None),
         disc_weight=cfg.lpips.disc_weight,

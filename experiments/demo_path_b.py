@@ -4,9 +4,14 @@ Reproduces the full scientific pipeline from the reference README
 (README.md:80-92 — "Linear forecaster on frozen-AE latents outperforms the
 persistence baseline") on synthetic advecting-blob VIL data, start to finish:
 
-  stage 1: train an AutoencoderKL to reconstruct frames
-  stage 2: freeze it; train DLinear on persistence-anchored latents
-  stage 3: evaluate the rollout vs the persistence baseline (full metric dict)
+  stage 1:  train an AutoencoderKL to reconstruct frames
+  stage 1b: (optional, --steps-dec-ft > 0) freeze the encoder and sharpen the
+            DECODER with adaptive-weight PatchGAN + soft-CSI fine-tuning —
+            the reference found GAN output "visually crisper"
+            (reference README.md:40-41,53-58); the soft-CSI term directly
+            optimizes the thresholded skill scores the demo is judged on
+  stage 2:  freeze it; train DLinear on persistence-anchored latents
+  stage 3:  evaluate the rollout vs the persistence baseline (full metric dict)
 
 Runs hermetically on CPU (WX_PLATFORM=cpu) or TPU. Writes RESULTS snippet to
 stdout.
@@ -58,10 +63,25 @@ def main(argv=None):
     p.add_argument("--events", type=int, default=32)
     p.add_argument("--steps-ae", type=int, default=300)
     p.add_argument("--steps-fc", type=int, default=300)
+    p.add_argument("--steps-dec-ft", type=int, default=0,
+                   help="decoder GAN+soft-CSI fine-tune steps on encoder "
+                        "latents (0 = off)")
+    p.add_argument("--steps-dec-ft2", type=int, default=0,
+                   help="decoder GAN+soft-CSI fine-tune steps on PREDICTED "
+                        "latents (after the forecaster is trained; directly "
+                        "optimizes the rollout's thresholded skill)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--t-in", type=int, default=8)
     p.add_argument("--t-out", type=int, default=5)
+    p.add_argument("--blocks", default="32,64,128",
+                   help="VAE block_out_channels; len-1 = number of 2x downsamples")
+    p.add_argument("--latent-ch", type=int, default=4)
+    p.add_argument("--gan-weight", type=float, default=0.5,
+                   help="adaptive-weight scale for the decoder fine-tune")
+    p.add_argument("--csi-weight", type=float, default=0.2,
+                   help="soft-CSI loss weight for the decoder fine-tune")
     args = p.parse_args(argv)
+    blocks = tuple(int(c) for c in args.blocks.split(","))
 
     root = tempfile.mkdtemp(prefix="wx_demo_")
     raw_seq = args.t_in + args.t_out
@@ -79,8 +99,8 @@ def main(argv=None):
 
     # -------------------------------------------------- stage 1: train the VAE
     vae = AutoencoderKL(in_channels=1, out_channels=1,
-                        block_out_channels=(32, 64, 128, 128),
-                        layers_per_block=1, latent_channels=8,
+                        block_out_channels=blocks,
+                        layers_per_block=1, latent_channels=args.latent_ch,
                         norm_num_groups=8)
     rng = jax.random.key(0)
     hw = args.img_size
@@ -115,10 +135,115 @@ def main(argv=None):
     print(f"[ae] trained {args.steps_ae} steps in {time.time()-t0:.0f}s, "
           f"final rec_l1 {float(rec):.4f}")
 
+    # ---------------- decoder fine-tune machinery (GAN + soft-CSI), 1b & 2b
+    from weatherforecastingtoolkit_tpu.metrics import VIL_THRESHOLDS
+    from weatherforecastingtoolkit_tpu.models.losses.gan import (
+        NLayerDiscriminator, adaptive_weight, hinge_d_loss)
+
+    thresholds = jnp.asarray(VIL_THRESHOLDS[:5])  # headline CSI thresholds
+
+    def soft_csi_loss(recon, target, sharp=0.02):
+        """1 - mean soft CSI: sigmoid-relaxed hits against HARD target
+        exceedances, so the gradient pushes reconstructed pixels across
+        the exact thresholds the skill scores binarize at."""
+        th = thresholds.reshape(-1, 1, 1, 1, 1)
+        p = jax.nn.sigmoid((recon[None] - th) / sharp)
+        t = (target[None] > th).astype(jnp.float32)
+        tp = jnp.sum(p * t, axis=(1, 2, 3, 4))
+        fn = jnp.sum((1 - p) * t, axis=(1, 2, 3, 4))
+        fp = jnp.sum(p * (1 - t), axis=(1, 2, 3, 4))
+        return 1.0 - jnp.mean(tp / (tp + fn + fp + 1.0))
+
+    def finetune_decoder(tag, steps, vv, make_pairs, lr=1e-4):
+        """Adaptive-weight PatchGAN + soft-CSI fine-tune of the decoder
+        (+post_quant_conv) on (latent, target-frame) pairs. Returns updated
+        full variables. make_pairs(batch) -> (z (N,C,h,w), frames (N,C,H,W))."""
+        disc = NLayerDiscriminator(input_nc=1, ndf=32, n_layers=3)
+        disc_vars = disc.init(jax.random.key(7), jnp.zeros((1, 1, hw, hw)))
+        disc_tx = optax.adam(1e-4, b1=0.5, b2=0.9)
+        disc_opt = disc_tx.init(disc_vars)
+        dec_sub = {"decoder": vv["params"]["decoder"],
+                   "post_quant_conv": vv["params"]["post_quant_conv"]}
+        warm_ft = max(1, steps // 10)
+        dec_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+            lr * 1e-2, lr, warm_ft, steps + warm_ft + 1, lr * 1e-3),
+            weight_decay=0.0)
+        dec_opt = dec_tx.init(dec_sub)
+
+        def dec_decode(ds, z):
+            v = {"params": {**vv["params"], **ds}}
+            return vae.apply(v, z, method=vae.decode)
+
+        ft_disc_start = steps // 5  # warm the disc before it bites
+
+        @jax.jit
+        def ft_step(step, dec_sub, dec_opt, disc_vars, disc_opt, batch):
+            z, frames = make_pairs(batch)
+
+            def rec_loss(ds):
+                recon = dec_decode(ds, z)
+                l1 = jnp.mean(jnp.abs(recon - frames))
+                csi = soft_csi_loss(recon, frames)
+                return l1 + args.csi_weight * csi, (recon, l1, csi)
+            (_, (recon, l1, csi)), rec_grads = jax.value_and_grad(
+                rec_loss, has_aux=True)(dec_sub)
+
+            def adv_loss(ds):
+                return -jnp.mean(disc.apply(disc_vars, dec_decode(ds, z)))
+            g_loss, adv_grads = jax.value_and_grad(adv_loss)(dec_sub)
+
+            last = ("decoder", "conv_out", "kernel")
+            g_rec, g_adv = rec_grads, adv_grads
+            for k in last:
+                g_rec, g_adv = g_rec[k], g_adv[k]
+            gate = jnp.where(step >= ft_disc_start, 1.0, 0.0)
+            d_w = gate * adaptive_weight(g_rec, g_adv, args.gan_weight)
+            grads = jax.tree_util.tree_map(lambda a, b: a + d_w * b,
+                                           rec_grads, adv_grads)
+            upd, dec_opt = dec_tx.update(grads, dec_opt, dec_sub)
+            dec_sub = optax.apply_updates(dec_sub, upd)
+
+            d_loss = hinge_d_loss(disc.apply(disc_vars, frames),
+                                  disc.apply(disc_vars,
+                                             jax.lax.stop_gradient(recon)))
+            d_grads = jax.grad(lambda dv: hinge_d_loss(
+                disc.apply(dv, frames),
+                disc.apply(dv, jax.lax.stop_gradient(recon))))(disc_vars)
+            d_upd, disc_opt = disc_tx.update(d_grads, disc_opt, disc_vars)
+            disc_vars = optax.apply_updates(disc_vars, d_upd)
+            return dec_sub, dec_opt, disc_vars, disc_opt, (l1, csi, g_loss,
+                                                           d_loss, d_w)
+
+        t0 = time.time()
+        for step in range(steps):
+            dec_sub, dec_opt, disc_vars, disc_opt, s = ft_step(
+                jnp.asarray(step), dec_sub, dec_opt, disc_vars, disc_opt,
+                next(it))
+            if step % 50 == 0:
+                print(f"[{tag}] step {step} l1 {float(s[0]):.4f} "
+                      f"csi_loss {float(s[1]):.4f} g {float(s[2]):.3f} "
+                      f"d {float(s[3]):.3f} d_w {float(s[4]):.3f}", flush=True)
+        print(f"[{tag}] fine-tuned decoder {steps} steps in {time.time()-t0:.0f}s")
+        return {"params": {**vv["params"], **jax.device_get(dec_sub)}}
+
+    # ------------------------- stage 1b: sharpen reconstructions (enc latents)
+    if args.steps_dec_ft > 0:
+        frozen = vae_vars
+
+        def recon_pairs(batch):
+            x = batch["vil"]
+            frames = x.reshape((-1,) + x.shape[2:])
+            z = jax.lax.stop_gradient(
+                vae.apply(frozen, frames, method=vae.encode).mode())
+            return z, frames
+
+        vae_vars = finetune_decoder("dec-ft", args.steps_dec_ft, vae_vars,
+                                    recon_pairs)
+
     # ----------------------------------------- stage 2: train DLinear on latents
-    n_down = 3  # 4 blocks -> 3 downsamples
+    n_down = len(blocks) - 1
     lat_hw = hw // (2 ** n_down)
-    d = 8 * lat_hw * lat_hw
+    d = args.latent_ch * lat_hw * lat_hw
     fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
     fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
     warm_fc = max(1, min(30, args.steps_fc // 10))
@@ -153,6 +278,30 @@ def main(argv=None):
         if step % 50 == 0:
             print(f"[fc] step {step} latent_mse {float(loss):.5f}", flush=True)
     print(f"[fc] trained {args.steps_fc} steps in {time.time()-t0:.0f}s")
+
+    # -------------- stage 2b: sharpen the decoder on PREDICTED latents.
+    # The L2-trained linear forecaster predicts slightly blurred latents; a
+    # decoder fine-tuned only on encoder latents never sees that distribution.
+    # Training the decoder (GAN + soft-CSI) on (forecasted latent -> true
+    # future frame) pairs is the "thresholded-CSI-aware fine-tune" that makes
+    # the ROLLOUT cross the skill-score thresholds, not just the roundtrip.
+    if args.steps_dec_ft2 > 0:
+        frozen2, frozen_fc = vae_vars, fc_vars
+
+        def pred_pairs(batch):
+            x = batch["vil"]
+            b, t = x.shape[:2]
+            z = vae.apply(frozen2, x.reshape((-1,) + x.shape[2:]),
+                          method=vae.encode).mode().reshape(b, t, -1)
+            inp = z[:, :args.t_in]
+            anchor = inp[:, -1:]
+            pred = fc.apply(frozen_fc, inp - anchor) + anchor   # (B,t_out,D)
+            zp = pred.reshape(b * args.t_out, args.latent_ch, lat_hw, lat_hw)
+            tgt = x[:, args.t_in:].reshape((b * args.t_out,) + x.shape[2:])
+            return jax.lax.stop_gradient(zp), tgt
+
+        vae_vars = finetune_decoder("dec-ft2(pred)", args.steps_dec_ft2,
+                                    vae_vars, pred_pairs)
 
     # ------------------------------------------------ stage 3: eval vs persistence
     pipeline = make_forecast_pipeline(

@@ -1,5 +1,7 @@
 """Tests: packed array-record cache equivalence + throughput harness +
-CustomAutoencoderKL (timeseries-bottleneck VAE)."""
+CustomAutoencoderKL (timeseries-bottleneck VAE) incl. fp32 torch parity."""
+
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -12,7 +14,10 @@ from weatherforecastingtoolkit_tpu.data.dataset import SEVIRDataset
 from weatherforecastingtoolkit_tpu.data.prefetch import BatchLoader
 from weatherforecastingtoolkit_tpu.data.synthetic import make_synthetic_sevir
 from weatherforecastingtoolkit_tpu.models.vae.custom_akl import (
-    CustomAutoencoderKL, Downsample4x, Upsample4x, sinusoidal_pos_emb_2d)
+    CustomAutoencoderKL, Downsample4x, Upsample4x, from_torch_state_dict,
+    sinusoidal_pos_emb_2d)
+
+sys.path.insert(0, "/root/reference")
 
 
 @pytest.fixture(scope="module")
@@ -94,6 +99,104 @@ def test_resample_4x(rng):
     up = Upsample4x(4)
     z = up.apply(up.init(jax.random.key(0), y), y)
     assert z.shape == (1, 8, 8, 4)
+
+
+def test_custom_akl_scales_4x_geometry(rng):
+    """scales=(4,2,...) wires the stacked stride-4 resamplers into the model
+    (reference custom_akl.py:131-206 via the scale= plumbing :713-733)."""
+    model = CustomAutoencoderKL(
+        block_out_channels=(8, 16), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4, latent_hw=8, timeseries_dim=32, scales=(4, 2))
+    x = jnp.asarray(rng.random((1, 1, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    posterior = model.apply(variables, x, method=model.encode)
+    assert posterior.mean.shape == (1, 4, 8, 8)  # one 4x downsample: 32 -> 8
+    recon, z_ts, _ = model.apply(variables, x)
+    assert recon.shape == (1, 1, 32, 32)  # decoder mirrors the 4x back up
+    # the 4x submodule params exist (down1/down2, up1/up2)
+    enc = variables["params"]["encoder"]["down_blocks_0"]["downsamplers_0"]
+    assert set(enc) == {"down1", "down2"}
+    dec = variables["params"]["decoder"]["up_blocks_0"]["upsamplers_0"]
+    assert set(dec) == {"up1", "up2"}
+
+
+def test_resample4x_fp32_parity_with_torch(rng):
+    """Downsample4x/Upsample4x match the reference torch blocks bit-for-bit
+    at fp32 given identical weights (reference custom_akl.py:131-206)."""
+    torch = pytest.importorskip("torch")
+    from pipeline.models.autoencoderkl import custom_akl as ref
+
+    tdown = ref.Downsample4x2D(8, use_conv=True, out_channels=8, padding=0,
+                               name="op").eval()
+    tup = ref.Upsample4x2D(8, use_conv=True, out_channels=8).eval()
+    x = rng.random((2, 8, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_down = tdown(torch.from_numpy(x)).numpy()
+        t_up = tup(torch.from_numpy(x)).numpy()
+
+    def conv_params(sd, prefix):
+        return {"conv": {
+            "kernel": jnp.asarray(np.transpose(sd[f"{prefix}.conv.weight"],
+                                               (2, 3, 1, 0))),
+            "bias": jnp.asarray(sd[f"{prefix}.conv.bias"])}}
+
+    dsd = {k: v.numpy() for k, v in tdown.state_dict().items()}
+    usd = {k: v.numpy() for k, v in tup.state_dict().items()}
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    down = Downsample4x(8)
+    j_down = down.apply({"params": {"down1": conv_params(dsd, "down1"),
+                                    "down2": conv_params(dsd, "down2")}}, x_nhwc)
+    np.testing.assert_allclose(np.transpose(np.asarray(j_down), (0, 3, 1, 2)),
+                               t_down, atol=1e-5, rtol=1e-5)
+
+    up = Upsample4x(8)
+    j_up = up.apply({"params": {"up1": conv_params(usd, "up1"),
+                                "up2": conv_params(usd, "up2")}}, x_nhwc)
+    np.testing.assert_allclose(np.transpose(np.asarray(j_up), (0, 3, 1, 2)),
+                               t_up, atol=1e-5, rtol=1e-5)
+
+
+def test_custom_akl_fp32_parity_with_torch_reference(rng):
+    """Full CustomAutoencoderKL vs the reference custom_akl.AutoencoderKL:
+    same weights, same input -> same moments, timeseries latent, and
+    reconstruction at fp32 (reference custom_akl.py:1020-1190). The torch
+    forward is replayed step-by-step because the reference's own forward()
+    crashes on .view of the non-contiguous posterior mode."""
+    torch = pytest.importorskip("torch")
+    from pipeline.models.autoencoderkl import custom_akl as ref
+
+    torch.manual_seed(0)
+    tmodel = ref.AutoencoderKL(
+        in_channels=1, out_channels=1, latent_channels=64,
+        block_out_channels=(32, 64), sample_size=16,
+        down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2,
+        layers_per_block=1, timeseries_dim=512).eval()
+
+    model = CustomAutoencoderKL(
+        in_channels=1, out_channels=1, block_out_channels=(32, 64),
+        layers_per_block=1, latent_channels=64, norm_num_groups=32,
+        latent_hw=8, timeseries_dim=512)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = from_torch_state_dict(model, sd, example_shape=(1, 1, 16, 16))
+
+    x = rng.random((2, 1, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_post = tmodel.encode(torch.from_numpy(x))
+        t_moments = t_post.parameters.numpy()
+        z2d = tmodel.pos_emb(t_post.mode().contiguous())
+        z_ts = tmodel.to_timeseries(z2d.reshape(2, -1))
+        z_rec = tmodel.from_timeseries(z_ts).view(-1, 64, 8, 8)
+        t_recon = tmodel.decode(z_rec).numpy()
+        t_zts = z_ts.numpy()
+
+    j_recon, j_zts, j_post = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_post.parameters), t_moments,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_zts), t_zts, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_recon), t_recon,
+                               atol=5e-4, rtol=1e-3)
 
 
 def test_custom_akl_forward(rng):

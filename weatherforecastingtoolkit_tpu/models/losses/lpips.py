@@ -67,9 +67,11 @@ class LPIPS(nn.Module):
             a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-10)
             b = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-10)
             diff = (a - b) ** 2                                    # (B,C,H,W)
+            # plain 1x1 conv, no bias, weights used as-is (reference
+            # NetLinLayer, lpips.py:73-80 — dropout is identity at eval)
             w = self.param(f"lin_{i}", nn.initializers.ones,
                            (1, diff.shape[1], 1, 1))
-            weighted = jnp.sum(jnp.abs(w) * diff, axis=1, keepdims=True)
+            weighted = jnp.sum(w * diff, axis=1, keepdims=True)
             total = total + jnp.mean(weighted, axis=(2, 3), keepdims=True)
         return total
 

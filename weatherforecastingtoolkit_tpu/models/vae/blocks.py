@@ -104,6 +104,30 @@ class Upsample2D(nn.Module):
         return nn.Conv(out_ch, (3, 3), padding=1, name="conv")(x)
 
 
+class Downsample4x(nn.Module):
+    """Two stacked stride-2 downsamples (4x total) — reference
+    custom_akl.py:170-206 Downsample4x2D (torch keys down1.conv/down2.conv)."""
+
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Downsample2D(self.out_channels, name="down1")(x)
+        return Downsample2D(self.out_channels, name="down2")(x)
+
+
+class Upsample4x(nn.Module):
+    """Two stacked 2x nearest+conv upsamples (4x total) — reference
+    custom_akl.py:131-168 Upsample4x2D (torch keys up1.conv/up2.conv)."""
+
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Upsample2D(self.out_channels, name="up1")(x)
+        return Upsample2D(self.out_channels, name="up2")(x)
+
+
 class AttentionBlock(nn.Module):
     """Spatial self-attention over the HxW grid with a residual connection."""
 
@@ -183,6 +207,7 @@ class DownEncoderBlock2D(nn.Module):
     resnet_eps: float = 1e-6
     add_downsample: bool = True
     fused_norm: bool = False
+    scale: int = 2  # 2 -> Downsample2D, 4 -> Downsample4x (custom_akl.py:713-733)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -191,7 +216,10 @@ class DownEncoderBlock2D(nn.Module):
                               self.resnet_eps, fused_norm=self.fused_norm,
                               name=f"resnets_{i}")(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
+            if self.scale == 4:
+                x = Downsample4x(self.out_channels, name="downsamplers_0")(x)
+            else:
+                x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
         return x
 
 
@@ -202,6 +230,7 @@ class UpDecoderBlock2D(nn.Module):
     resnet_eps: float = 1e-6
     add_upsample: bool = True
     fused_norm: bool = False
+    scale: int = 2  # 2 -> Upsample2D, 4 -> Upsample4x (custom_akl.py:783-791)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -210,7 +239,10 @@ class UpDecoderBlock2D(nn.Module):
                               self.resnet_eps, fused_norm=self.fused_norm,
                               name=f"resnets_{i}")(x)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
+            if self.scale == 4:
+                x = Upsample4x(self.out_channels, name="upsamplers_0")(x)
+            else:
+                x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
         return x
 
 

@@ -24,31 +24,9 @@ import numpy as np
 from flax import linen as nn
 
 from ..common import nchw_to_nhwc, nhwc_to_nchw
-from .blocks import Downsample2D, Upsample2D
+from .blocks import Downsample4x, Upsample4x  # noqa: F401 (public re-export)
 from .distributions import DiagonalGaussianDistribution
 from .vae import Decoder, Encoder
-
-
-class Downsample4x(nn.Module):
-    """Two stacked stride-2 downsamples (4x total)."""
-
-    out_channels: Optional[int] = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Downsample2D(self.out_channels, name="down1")(x)
-        return Downsample2D(self.out_channels, name="down2")(x)
-
-
-class Upsample4x(nn.Module):
-    """Two stacked 2x nearest+conv upsamples (4x total)."""
-
-    out_channels: Optional[int] = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Upsample2D(self.out_channels, name="up1")(x)
-        return Upsample2D(self.out_channels, name="up2")(x)
 
 
 def sinusoidal_pos_emb_2d(channels: int, height: int, width: int) -> np.ndarray:
@@ -85,18 +63,30 @@ class CustomAutoencoderKL(nn.Module):
     norm_num_groups: int = 32
     latent_hw: int = 8
     timeseries_dim: int = 2048
+    # per-block resample factor (2 or 4): the reference's `scales` lists
+    # (custom_akl.py:823-825,919-921 — the stride-4 stacked resamplers of
+    # custom_akl.py:131-206). None -> all 2x (the shipped reference default).
+    scales: Optional[Sequence[int]] = None
 
     def setup(self):
+        # encoder downsamples after blocks 0..n-2 with scales[i]; the decoder
+        # mirrors them in reverse (up block j inverts encoder block n-2-j)
+        dec_scales = None
+        if self.scales:
+            s = tuple(self.scales)
+            dec_scales = tuple(reversed(s[:-1])) + s[-1:]
         self.encoder = Encoder(
             out_channels=self.latent_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
-            norm_num_groups=self.norm_num_groups, double_z=True)
+            norm_num_groups=self.norm_num_groups, double_z=True,
+            scales=self.scales)
         self.decoder = Decoder(
             out_channels=self.out_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
-            norm_num_groups=self.norm_num_groups)
+            norm_num_groups=self.norm_num_groups,
+            scales=dec_scales)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1))
         self.to_timeseries = nn.Dense(self.timeseries_dim)
@@ -134,3 +124,14 @@ class CustomAutoencoderKL(nn.Module):
         z_rec = self.from_timeseries(z_ts)
         recon = self.decode(z_rec)
         return recon, z_ts, posterior
+
+
+def from_torch_state_dict(model: CustomAutoencoderKL, state_dict: dict,
+                          example_shape=(1, 1, 128, 128)) -> dict:
+    """Build flax params from a reference custom_akl torch state dict
+    (reference custom_akl.py:1093-1190: encoder/decoder/quant convs plus the
+    to_timeseries/from_timeseries Linears; the pos-emb buffer is
+    non-persistent and recomputed here). Strict both ways, like the
+    AutoencoderKL loader."""
+    from .autoencoder_kl import from_torch_state_dict as _generic
+    return _generic(model, state_dict, example_shape)

@@ -1,8 +1,13 @@
-"""VAE Encoder / Decoder stacks (reference autoencoderkl/vae.py:9-166)."""
+"""VAE Encoder / Decoder stacks (reference autoencoderkl/vae.py:9-166).
+
+`scales` (per-block 2 or 4) selects the stacked 4x resamplers of the
+custom_akl fork (reference custom_akl.py:810-945 `scales` lists wired into
+get_down_block/get_up_block `scale=`); None means all-2x (the shipped
+reference default)."""
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -21,17 +26,20 @@ class Encoder(nn.Module):
     norm_num_groups: int = 32
     double_z: bool = True
     fused_norm: bool = False
+    scales: Optional[Sequence[int]] = None  # per-block downsample factor
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
                     name="conv_in")(x)
         n = len(self.block_out_channels)
+        scales = self.scales or (2,) * n
         for i, ch in enumerate(self.block_out_channels):
             x = DownEncoderBlock2D(
                 out_channels=ch, num_layers=self.layers_per_block,
                 resnet_groups=self.norm_num_groups,
                 add_downsample=(i != n - 1), fused_norm=self.fused_norm,
+                scale=scales[i] if i < len(scales) else 2,
                 name=f"down_blocks_{i}")(x)
         x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
                            fused_norm=self.fused_norm, name="mid_block")(x)
@@ -50,6 +58,7 @@ class Decoder(nn.Module):
     layers_per_block: int = 2
     norm_num_groups: int = 32
     fused_norm: bool = False
+    scales: Optional[Sequence[int]] = None  # per-block upsample factor
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -58,11 +67,13 @@ class Decoder(nn.Module):
         x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
                            fused_norm=self.fused_norm, name="mid_block")(x)
         n = len(rev)
+        scales = self.scales or (2,) * n
         for i, ch in enumerate(rev):
             x = UpDecoderBlock2D(
                 out_channels=ch, num_layers=self.layers_per_block + 1,
                 resnet_groups=self.norm_num_groups,
                 add_upsample=(i != n - 1), fused_norm=self.fused_norm,
+                scale=scales[i] if i < len(scales) else 2,
                 name=f"up_blocks_{i}")(x)
         x = GroupNormSiLU(self.norm_num_groups, 1e-6, fused=self.fused_norm,
                           name="conv_norm_out")(x)
