@@ -77,6 +77,7 @@ def build_datamodule(cfg: Config) -> SEVIRDataModule:
         batch_size=ds.batch_size, num_workers=ds.get("num_workers", 4),
         seed=cfg.get("seed", 0), val_ratio=ds.get("val_ratio", 0.1),
         aug_mode=str(ds.get("aug_mode", "0")),
+        use_cache=bool(ds.get("use_cache", False)),
         train_test_split_date=tuple(ds.get("train_test_split_date", (2019, 6, 1)))
         if ds.get("train_test_split_date", (2019, 6, 1)) is not None else None,
     )

@@ -218,6 +218,30 @@ def test_datamodule_splits(sevir_root):
         SEVIRDataModule(dataset_name="sevirlr", sevir_dir=sevir_root, layout="TNHW")
 
 
+def test_datamodule_cached_path_bit_identical(sevir_root, tmp_path):
+    """use_cache=True must serve bit-identical samples for every split,
+    including the shuffled-train event permutation and the random val split."""
+    kw = dict(dataset_name="sevirlr", sevir_dir=sevir_root, seq_len=13,
+              stride=12, layout="NTCHW", batch_size=2, num_workers=2,
+              val_ratio=0.25, train_test_split_date=(2019, 1, 20), seed=3)
+    dm_h5 = SEVIRDataModule(**kw)
+    dm_c = SEVIRDataModule(use_cache=True, cache_dir=str(tmp_path / "pc"), **kw)
+    for dm in (dm_h5, dm_c):
+        dm.prepare_data()
+        dm.setup()
+    for split in ("sevir_train", "sevir_val", "sevir_test"):
+        a, b = getattr(dm_h5, split), getattr(dm_c, split)
+        assert len(a) == len(b), split
+        for i in range(len(a)):
+            np.testing.assert_array_equal(a[i]["vil"], b[i]["vil"],
+                                          err_msg=f"{split}[{i}]")
+    # second setup() reuses the cache (meta validates) instead of rebuilding
+    import os
+    mtime = os.path.getmtime(str(tmp_path / "pc" / "train_vil.npy"))
+    dm_c.setup()
+    assert os.path.getmtime(str(tmp_path / "pc" / "train_vil.npy")) == mtime
+
+
 # ------------------------------------------------------------- sequent/random iterator
 def test_sequent_iterator_pad_mask(sevir_root):
     from weatherforecastingtoolkit_tpu.data.dataset import SEVIRSequentIterator

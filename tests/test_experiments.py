@@ -91,6 +91,24 @@ def test_experiment_smoke(exp, tmp_path):
     assert "done" in result.stdout.splitlines()[-1]
 
 
+def test_experiment_with_packed_cache(tmp_path):
+    """dataset.use_cache=true: the packed mmap cache feeds a real training run
+    (the reference proved its HDF5 path I/O-bound, sevir/test.py:42-72)."""
+    script = os.path.join(REPO, "experiments", "ae_recon", "train.py")
+    overrides = COMMON + SPECIFIC["ae_recon"] + [
+        "dataset.use_cache=true", f"experiment_path={tmp_path}/ae_recon_cache"]
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run([sys.executable, script, *overrides],
+                            capture_output=True, text=True, timeout=900,
+                            env=env, cwd=REPO)
+    assert result.returncode == 0, (
+        f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
+    assert "done" in result.stdout.splitlines()[-1]
+    assert "[cache] building packed cache" in result.stdout
+
+
 def test_latent_convae_gan_variant(tmp_path):
     """The latent-space PatchGAN path (reference pretrained_ae_conv_disc)."""
     script = os.path.join(REPO, "experiments", "latent_convae", "train.py")

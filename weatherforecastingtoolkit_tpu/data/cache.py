@@ -26,6 +26,30 @@ from .catalog import EventIndex
 from .dataset import SEVIRDataset
 
 
+def cache_valid(cache_dir: str, split: str, event_ids: Sequence[str],
+                data_types: Sequence[str], raw_seq_len: int) -> bool:
+    """True iff a packed cache for `split` exists and matches the expected
+    event set (same ids, same order), data types, and frame count."""
+    meta_path = os.path.join(cache_dir, f"{split}_meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    if meta.get("event_ids") != [str(e) for e in event_ids]:
+        return False
+    if meta.get("raw_seq_len") != raw_seq_len:
+        return False
+    if not set(data_types) <= set(meta.get("data_types", ())):
+        return False
+    if meta.get("num_events", 0) == 0:
+        return True  # empty split: no array files to check
+    return all(os.path.exists(os.path.join(cache_dir, f"{split}_{t}.npy"))
+               for t in data_types)
+
+
 def build_cache(dataset: SEVIRDataset, cache_dir: str, split: str = "train",
                 verbose: bool = True) -> str:
     """Pack every event of `dataset` into the mmap cache. Returns cache_dir.
@@ -70,7 +94,8 @@ class CachedSEVIRDataset:
                  seq_len: int = 25, stride: int = 12, layout: str = "NTHWC",
                  rescale_method: str = "01", aug_mode: str = "0",
                  aug_seed: int = 0, num_shard: int = 1, rank: int = 0,
-                 split_mode: str = "uneven"):
+                 split_mode: str = "uneven",
+                 event_perm: Optional[Sequence[int]] = None):
         from .dataset import augment_thw, preprocess_array
         from .windows import WindowIndex, shard_event_range
         from ..ops.layout import change_layout
@@ -82,11 +107,21 @@ class CachedSEVIRDataset:
         with open(os.path.join(cache_dir, f"{split}_meta.json")) as f:
             self.meta = json.load(f)
         self.data_types = tuple(data_types or self.meta["data_types"])
+        total = self.meta["num_events"]
         self.arrays = {
             t: np.load(os.path.join(cache_dir, f"{split}_{t}.npy"),
                        mmap_mode="r")
-            for t in self.data_types}
-        total = self.meta["num_events"]
+            for t in self.data_types} if total else {}
+        # optional event reorder (e.g. the DataModule's shuffle permutation);
+        # the cache itself always stays in canonical catalog order
+        if event_perm is None:
+            self.event_order = np.arange(total)
+        else:
+            self.event_order = np.asarray(event_perm, dtype=np.int64)
+            if len(self.event_order) != total:
+                raise ValueError(
+                    f"event_perm has {len(self.event_order)} entries for "
+                    f"{total} cached events")
         start, end = shard_event_range(total, num_shard, rank, split_mode)
         self._start = start
         self._n_events = min(end, total) - start
@@ -109,7 +144,8 @@ class CachedSEVIRDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         event_idx, t_slice = self.windows.locate(index)
-        ev = self._start + (event_idx % max(1, self._n_events))
+        ev = int(self.event_order[
+            self._start + (event_idx % max(1, self._n_events))])
         out = {}
         aug_rng = None
         if self.aug_mode != "0":

@@ -10,6 +10,13 @@ date split (reference sevire/sevir.py:1240-1245) is available via
 
 Download helpers are stubs that raise with instructions (this image has no
 egress; the reference shelled out to `aws s3 cp`, sevir/sevir.py:930-977).
+
+`use_cache=True` routes every split through the packed mmap cache
+(data/cache.py): `prepare_data` builds (or re-validates) one contiguous
+raw-dtype array per split under `cache_dir`, and the loaders serve zero-copy
+strided views instead of HDF5 chunk reads — the measured ~2x fix for the I/O
+bottleneck the reference proved (reference pipeline/datasets/sevir/test.py:42-72).
+Samples are bit-identical to the HDF5 path (tested).
 """
 
 from __future__ import annotations
@@ -82,6 +89,8 @@ class SEVIRDataModule:
         catalog_path: Optional[str] = None,
         raw_data_dir: Optional[str] = None,
         shuffle_train: bool = True,
+        use_cache: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         if dataset_name not in DATASET_PRESETS:
             raise ValueError(
@@ -112,6 +121,9 @@ class SEVIRDataModule:
         self.num_shard = num_shard
         self.rank = rank
         self.shuffle_train = shuffle_train
+        self.use_cache = use_cache
+        self.cache_dir = cache_dir or (os.path.join(sevir_dir, "cache_packed")
+                                       if sevir_dir else None)
 
         def _dt(v):
             return datetime.datetime(*v) if v is not None else None
@@ -131,7 +143,9 @@ class SEVIRDataModule:
         if not os.path.exists(self.raw_data_dir):
             raise FileNotFoundError(f"SEVIR data dir not found: {self.raw_data_dir}")
 
-    def _make(self, start, end, aug_mode, shuffle):
+    def _make(self, start, end, aug_mode, shuffle, tag="train"):
+        if self.use_cache:
+            return self._make_cached(start, end, aug_mode, shuffle, tag)
         return SEVIRDataset(
             catalog=self.catalog_path, data_dir=self.raw_data_dir,
             data_types=self.data_types, seq_len=self.seq_len,
@@ -141,17 +155,46 @@ class SEVIRDataModule:
             shuffle_seed=self.seed + 1, rescale_method=self.rescale_method,
             aug_mode=aug_mode, aug_seed=self.seed)
 
+    def _make_cached(self, start, end, aug_mode, shuffle, tag):
+        """Cache-backed twin of _make: build/validate the packed cache for
+        this split's date range, then serve it (bit-identical samples)."""
+        from .cache import CachedSEVIRDataset, build_cache, cache_valid
+
+        index = build_event_index(self.catalog_path, self.data_types, start, end)
+        ids = [ev.event_id for ev in index]
+        if not cache_valid(self.cache_dir, tag, ids, self.data_types,
+                           self.raw_seq_len):
+            print(f"[cache] building packed cache for split {tag!r} "
+                  f"({len(index)} events) at {self.cache_dir}")
+            builder = SEVIRDataset(
+                catalog=index, data_dir=self.raw_data_dir,
+                data_types=self.data_types, seq_len=self.raw_seq_len,
+                raw_seq_len=self.raw_seq_len, stride=self.raw_seq_len,
+                layout=self.layout)
+            build_cache(builder, self.cache_dir, split=tag)
+        # same event permutation EventIndex.shuffled(seed) would produce, so
+        # cached and HDF5 paths index identical (event, window) pairs
+        perm = (np.random.default_rng(self.seed + 1).permutation(len(index))
+                if shuffle else None)
+        return CachedSEVIRDataset(
+            self.cache_dir, split=tag, data_types=self.data_types,
+            seq_len=self.seq_len, stride=self.stride, layout=self.layout,
+            rescale_method=self.rescale_method, aug_mode=aug_mode,
+            aug_seed=self.seed, num_shard=self.num_shard, rank=self.rank,
+            split_mode="uneven", event_perm=perm)
+
     def setup(self, stage: Optional[str] = None) -> None:
         if stage in (None, "fit"):
             if self.val_split_date is not None:
                 # sevire-style 3-way date split
                 self.sevir_train = self._make(self.start_date, self.val_split_date,
-                                              self.aug_mode, True)
+                                              self.aug_mode, True, "train")
                 self.sevir_val = self._make(self.val_split_date,
-                                            self.train_test_split_date, "0", False)
+                                            self.train_test_split_date, "0",
+                                            False, "val")
             else:
                 full = self._make(self.start_date, self.train_test_split_date,
-                                  self.aug_mode, True)
+                                  self.aug_mode, True, "train")
                 n = len(full)
                 rng = np.random.default_rng(self.seed)
                 perm = rng.permutation(n)
@@ -160,7 +203,7 @@ class SEVIRDataModule:
                 self.sevir_train = SubsetDataset(full, perm[n_val:])
         if stage in (None, "test"):
             self.sevir_test = self._make(self.train_test_split_date, self.end_date,
-                                         "0", False)
+                                         "0", False, "test")
 
     # -- loaders -------------------------------------------------------------
     def train_loader(self) -> BatchLoader:
