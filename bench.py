@@ -32,12 +32,21 @@ from weatherforecastingtoolkit_tpu.utils.compile_cache import (  # noqa: E402
 
 enable_persistent_cache()
 
-BATCH = 8
+BATCH = 16  # B=16 keeps the decoder's full-res convs MXU-saturated (+19% vs 8)
 T_IN, T_OUT = 13, 12
 HW = 128
 LATENT_C, LATENT_HW = 64, 8
 VAE_CHANNELS = (64, 128, 256, 512, 512)  # 4 downsamples: 128 -> 8
+NORM_GROUPS = 32
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+# peak specs per device kind for MFU / HBM-BW utilization estimates
+# (bf16 matmul FLOP/s, HBM bytes/s)
+DEVICE_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5": (459e12, 1228e9),
+    "TPU v4": (275e12, 1200e9),
+}
 
 
 def log(msg):
@@ -54,7 +63,7 @@ def build_jax_pipeline(dtype="float32"):
 
     vae = AutoencoderKL(in_channels=1, out_channels=1,
                         block_out_channels=VAE_CHANNELS, layers_per_block=1,
-                        latent_channels=LATENT_C, norm_num_groups=32)
+                        latent_channels=LATENT_C, norm_num_groups=NORM_GROUPS)
     d = LATENT_C * LATENT_HW * LATENT_HW
     forecaster = DLinear(seq_len=T_IN, pred_len=T_OUT, kernel_size=25)
 
@@ -99,6 +108,33 @@ def _time_pipeline(pipeline, fc_vars, frames, n_rep=10):
     return float(np.median(times)), compile_s, out
 
 
+def _xla_cost(jitted, *args):
+    """(flops, bytes accessed) from XLA's cost model; (None, None) if n/a."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None, \
+            float(ca.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # noqa: BLE001 — cost model is best-effort
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None, None
+
+
+def _utilization(flops, nbytes, seconds):
+    """(MFU, HBM-BW utilization) vs this chip's peaks; Nones pass through."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    peaks = next((v for k, v in DEVICE_PEAKS.items() if kind.startswith(k)),
+                 None)
+    if peaks is None:
+        log(f"no peak table for device kind {kind!r}")
+        return None, None
+    mfu = flops / seconds / peaks[0] if flops else None
+    bwu = nbytes / seconds / peaks[1] if nbytes else None
+    return mfu, bwu
+
+
 def bench_jax():
     import jax
 
@@ -129,9 +165,73 @@ def bench_jax():
     log(f"SSIM(bf16 vs fp32 outputs) = {s:.5f}")
     if fps16 > fps32 and s > 0.995:
         log("headline: bf16 (quality-gated)")
-        return fps16
-    log("headline: fp32")
-    return fps32
+        fps, pipe, fcv, t_step = fps16, pipe16, fc16, t16
+    else:
+        log("headline: fp32")
+        fps, pipe, fcv, t_step = fps32, pipe32, fc32, t32
+
+    flops, nbytes = _xla_cost(pipe, fcv, frames)
+    mfu, bwu = _utilization(flops, nbytes, t_step)
+    if mfu is not None:
+        log(f"rollout: {flops/1e9:.1f} GFLOP, {nbytes/1e9:.2f} GB accessed "
+            f"-> MFU {mfu*100:.1f}%, HBM-BW {bwu*100:.1f}% of peak")
+    return fps, mfu, bwu
+
+
+def bench_train():
+    """Full-size PosAwareAE + PatchGAN two-optimizer train step (the
+    reference's canonical loop, ae_v2_2/train.py:126-159) — steps/s on chip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+    from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator
+    from weatherforecastingtoolkit_tpu.training.gan import make_vae_gan_task
+    from weatherforecastingtoolkit_tpu.training.trainer import TrainState
+
+    B, T = 4, 4  # 16 frames of 128^2 per optimizer step
+    model = PosAwareAE(latent_dim=2048)
+    disc = NLayerDiscriminator(input_nc=1, ndf=64, n_layers=3)
+    disc_tx = optax.adam(4.5e-5, b1=0.5, b2=0.9)
+    task = make_vae_gan_task(
+        name="bench_gan",
+        generator_apply=lambda p, f, r: (model.apply(p, f)[0], None),
+        gen_init=lambda r: model.init(r, jnp.zeros((1, 1, HW, HW))),
+        disc_apply=lambda p, f: disc.apply(p, f),
+        disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, HW, HW))),
+        disc_tx=disc_tx, last_layer_path=("params", "dec_out", "kernel"),
+        disc_weight=0.5, disc_start=0)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    rng = jax.random.key(0)
+    params = task.init_params(rng)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=rng,
+                       extra=task.init_extra(rng, params))
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    log(f"train bench: PosAwareAE {n_params/1e6:.1f}M params + PatchGAN, "
+        f"batch {B}x{T} frames of {HW}^2")
+
+    step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
+    batch = {"vil": jax.device_put(
+        np.random.default_rng(0).random((B, T, 1, HW, HW), np.float32))}
+    t0 = time.time()
+    state, aux = step(state, batch)
+    jax.block_until_ready(state.params)
+    log(f"train step compiled in {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        state, aux = step(state, batch)
+        jax.block_until_ready(state.params)
+        times.append(time.time() - t0)
+    t_step = float(np.median(times))
+    sps = 1.0 / t_step
+    log(f"train: {t_step*1000:.1f} ms/step -> {sps:.2f} steps/s "
+        f"({sps * B * T:.1f} frames/s), loss {float(aux['loss']):.4f}")
+    return sps
 
 
 def bench_torch_reference():
@@ -181,7 +281,7 @@ def bench_torch_reference():
                    down_block_types=("DownEncoderBlock2D",) * len(VAE_CHANNELS),
                    up_block_types=("UpDecoderBlock2D",) * len(VAE_CHANNELS),
                    block_out_channels=VAE_CHANNELS, layers_per_block=1,
-                   latent_channels=LATENT_C, norm_num_groups=32).eval()
+                   latent_channels=LATENT_C, norm_num_groups=NORM_GROUPS).eval()
     dl = DLinearT(Cfg).eval()
 
     x = torch.rand(BATCH, T_IN, 1, HW, HW)
@@ -232,14 +332,25 @@ def get_baseline_fps():
 
 
 def main():
-    fps = bench_jax()
+    fps, mfu, bwu = bench_jax()
+    try:
+        train_sps = bench_train()
+    except Exception as e:  # noqa: BLE001 — keep the headline JSON line alive
+        log(f"train bench failed: {type(e).__name__}: {e}")
+        train_sps = None
     baseline = get_baseline_fps()
-    print(json.dumps({
+    out = {
         "metric": "sevirlr_12step_rollout_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline, 2),
-    }), flush=True)
+        # chip-utilization + training-throughput telemetry (driver-tracked)
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "hbm_bw_util": round(bwu, 4) if bwu is not None else None,
+        "gan_train_steps_per_sec": (round(train_sps, 2)
+                                    if train_sps is not None else None),
+    }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -4,14 +4,29 @@ Reproduces the full scientific pipeline from the reference README
 (README.md:80-92 — "Linear forecaster on frozen-AE latents outperforms the
 persistence baseline") on synthetic advecting-blob VIL data, start to finish:
 
-  stage 1:  train an AutoencoderKL to reconstruct frames
+  stage 1:  train an AutoencoderKL to reconstruct frames (optionally with a
+            small soft-CSI term so the thresholded skill the demo is judged
+            on survives the compression)
   stage 1b: (optional, --steps-dec-ft > 0) freeze the encoder and sharpen the
             DECODER with adaptive-weight PatchGAN + soft-CSI fine-tuning —
             the reference found GAN output "visually crisper"
-            (reference README.md:40-41,53-58); the soft-CSI term directly
-            optimizes the thresholded skill scores the demo is judged on
+            (reference README.md:40-41,53-58). Measured caveat: unconstrained
+            GAN fine-tuning over-specializes the decoder (the roundtrip
+            ceiling drops), so keep it short or off.
   stage 2:  freeze it; train DLinear on persistence-anchored latents
-  stage 3:  evaluate the rollout vs the persistence baseline (full metric dict)
+  stage 2b: (--steps-dec-ft2 > 0) GAN+soft-CSI fine-tune of the decoder on
+            PREDICTED latents (same caveat as 1b).
+  stage 2c: (--steps-e2e > 0) fine-tune the FORECASTER end-to-end through the
+            frozen decoder on pixel L1 + soft-CSI: stage 2's latent-MSE
+            objective smooths predictions; training through the decoder lets
+            the forecaster pick latents that DECODE sharply, without touching
+            the decoder (the VAE ceiling is preserved by construction).
+            Checkpoint selection: every --eval-every steps the rollout is
+            scored on a SELECTION split and the best forecaster kept; the
+            final table reports the disjoint REPORT split.
+  stage 3:  evaluate the rollout vs the persistence baseline (full metric
+            dict); every stage boundary prints the same table so each
+            stage's contribution is visible.
 
 Runs hermetically on CPU (WX_PLATFORM=cpu) or TPU. Writes RESULTS snippet to
 stdout.
@@ -39,16 +54,19 @@ import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 from weatherforecastingtoolkit_tpu.data.datamodule import SEVIRDataModule  # noqa: E402
-from weatherforecastingtoolkit_tpu.data.prefetch import device_prefetch  # noqa: E402
+from weatherforecastingtoolkit_tpu.data.prefetch import (BatchLoader,  # noqa: E402
+                                                         device_prefetch)
 from weatherforecastingtoolkit_tpu.data.synthetic import make_synthetic_sevir  # noqa: E402
+from weatherforecastingtoolkit_tpu.metrics import VIL_THRESHOLDS, calc_metrics  # noqa: E402
 from weatherforecastingtoolkit_tpu.models.forecasters import DLinear  # noqa: E402
-from weatherforecastingtoolkit_tpu.models.rollout import (evaluate_vs_persistence,  # noqa: E402
-                                                          make_eval_fn,
-                                                          make_forecast_pipeline)
+from weatherforecastingtoolkit_tpu.models.rollout import persistence_baseline  # noqa: E402
 from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL  # noqa: E402
 from weatherforecastingtoolkit_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
+
+HEADLINE = ["SSIM", "PSNR", "CRPS", "paper_CSI_M_POOL1", "paper_HSS_POOL1"]
+HIGHER = {"SSIM", "PSNR", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
 
 
 def loop(loader, epochs=10**9):
@@ -57,10 +75,24 @@ def loop(loader, epochs=10**9):
             yield batch
 
 
+def wins_and_score(model_m, persist_m):
+    """(#headline wins, mean signed relative margin vs persistence)."""
+    wins, score = 0, 0.0
+    for k in HEADLINE:
+        m, p = float(model_m[k]), float(persist_m[k])
+        margin = (m - p) / max(abs(p), 1e-9)
+        if k not in HIGHER:
+            margin = -margin
+        wins += int(margin > 0)
+        score += margin / len(HEADLINE)
+    return wins, score
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--img-size", type=int, default=64)
-    p.add_argument("--events", type=int, default=32)
+    p.add_argument("--events", type=int, default=64)
+    p.add_argument("--window-stride", type=int, default=4)
     p.add_argument("--steps-ae", type=int, default=300)
     p.add_argument("--steps-fc", type=int, default=300)
     p.add_argument("--steps-dec-ft", type=int, default=0,
@@ -68,18 +100,27 @@ def main(argv=None):
                         "latents (0 = off)")
     p.add_argument("--steps-dec-ft2", type=int, default=0,
                    help="decoder GAN+soft-CSI fine-tune steps on PREDICTED "
-                        "latents (after the forecaster is trained; directly "
-                        "optimizes the rollout's thresholded skill)")
+                        "latents (after the forecaster is trained)")
+    p.add_argument("--steps-e2e", type=int, default=0,
+                   help="forecaster end-to-end pixel fine-tune steps through "
+                        "the frozen decoder (0 = off)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--t-in", type=int, default=8)
     p.add_argument("--t-out", type=int, default=5)
     p.add_argument("--blocks", default="32,64,128",
                    help="VAE block_out_channels; len-1 = number of 2x downsamples")
     p.add_argument("--latent-ch", type=int, default=4)
+    p.add_argument("--ae-csi-weight", type=float, default=0.0,
+                   help="soft-CSI weight in the stage-1 AE loss")
     p.add_argument("--gan-weight", type=float, default=0.5,
                    help="adaptive-weight scale for the decoder fine-tune")
     p.add_argument("--csi-weight", type=float, default=0.2,
                    help="soft-CSI loss weight for the decoder fine-tune")
+    p.add_argument("--e2e-csi-weight", type=float, default=0.3)
+    p.add_argument("--e2e-lat-weight", type=float, default=0.1,
+                   help="latent-MSE anchor term during the e2e fine-tune")
+    p.add_argument("--eval-every", type=int, default=200,
+                   help="keep-best evaluation cadence in stage 2c")
     args = p.parse_args(argv)
     blocks = tuple(int(c) for c in args.blocks.split(","))
 
@@ -89,15 +130,23 @@ def main(argv=None):
     make_synthetic_sevir(root, num_events=args.events, height=args.img_size,
                          width=args.img_size, raw_seq_len=25)
     dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=root,
-                         seq_len=raw_seq, stride=raw_seq, layout="NTCHW",
-                         batch_size=args.batch, num_workers=4,
+                         seq_len=raw_seq, stride=args.window_stride,
+                         layout="NTCHW", batch_size=args.batch, num_workers=4,
                          train_test_split_date=(2019, 7, 1), val_ratio=0.15)
     dm.prepare_data()
     dm.setup(stage="fit")
-    # synthetic events are weekly from Jan 1; keep a held-out tail as "test"
+    # synthetic events are weekly from Jan 1; the random val split is held
+    # out of training entirely — half selects checkpoints, half reports
     test_ds = dm.sevir_val
+    eval_bs = max(1, min(args.batch, len(test_ds)))
+    all_eval = [jnp.asarray(b["vil"]) for b in
+                BatchLoader(test_ds, eval_bs, num_workers=2)]
+    sel_batches = all_eval[::2]
+    rep_batches = [b for i, b in enumerate(all_eval) if i % 2 == 1] or sel_batches
+    print(f"[data] {dm.num_train_samples} train windows, "
+          f"{len(sel_batches)}/{len(rep_batches)} selection/report eval batches")
 
-    # -------------------------------------------------- stage 1: train the VAE
+    # ------------------------------------------------------------ models
     vae = AutoencoderKL(in_channels=1, out_channels=1,
                         block_out_channels=blocks,
                         layers_per_block=1, latent_channels=args.latent_ch,
@@ -105,6 +154,72 @@ def main(argv=None):
     rng = jax.random.key(0)
     hw = args.img_size
     vae_vars = vae.init(rng, jnp.zeros((1, 1, hw, hw)))
+    n_down = len(blocks) - 1
+    lat_hw = hw // (2 ** n_down)
+    d = args.latent_ch * lat_hw * lat_hw
+    fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
+    fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
+
+    thresholds = jnp.asarray(VIL_THRESHOLDS[:5])  # headline CSI thresholds
+
+    def soft_csi_loss(recon, target, sharp=0.02):
+        """1 - mean soft CSI: sigmoid-relaxed hits against HARD target
+        exceedances, so the gradient pushes reconstructed pixels across
+        the exact thresholds the skill scores binarize at."""
+        th = thresholds.reshape((-1,) + (1,) * recon.ndim)
+        p = jax.nn.sigmoid((recon[None] - th) / sharp)
+        t = (target[None] > th).astype(jnp.float32)
+        axes = tuple(range(1, p.ndim))
+        tp = jnp.sum(p * t, axis=axes)
+        fn = jnp.sum((1 - p) * t, axis=axes)
+        fp = jnp.sum(p * (1 - t), axis=axes)
+        return 1.0 - jnp.mean(tp / (tp + fn + fp + 1.0))
+
+    # -------------------------------------------- stage-boundary evaluation
+    # one jitted program parameterized by (vae_vars, fc_vars): model rollout,
+    # persistence, and the VAE roundtrip ceiling — no retraces across stages
+    @jax.jit
+    def _eval_batch(vv, fv, seq):
+        frames_in = seq[:, :args.t_in]
+        target = seq[:, args.t_in:args.t_in + args.t_out]
+        b = frames_in.shape[0]
+        flat_in = frames_in.reshape((-1,) + seq.shape[2:])
+        z = vae.apply(vv, flat_in, method=vae.encode).mode().reshape(
+            b, args.t_in, -1)
+        anchor = z[:, -1:]
+        zp = fc.apply(fv, z - anchor) + anchor
+        pred = vae.apply(vv, zp.reshape((b * args.t_out, args.latent_ch,
+                                         lat_hw, lat_hw)),
+                         method=vae.decode).reshape(target.shape)
+        persist = persistence_baseline(frames_in, args.t_out)
+        flat_t = target.reshape((-1,) + target.shape[2:])
+        rec = vae.apply(vv, vae.apply(vv, flat_t, method=vae.encode).mode(),
+                        method=vae.decode).reshape(target.shape)
+        return pred, persist, rec, target
+
+    def evaluate(tag, vv, fv, batches, verbose=True):
+        sums = [dict(), dict(), dict()]
+        for seq in batches:
+            pred, persist, rec, target = _eval_batch(vv, fv, seq)
+            for store, out in zip(sums, (pred, persist, rec)):
+                for k, v in calc_metrics(out, target).items():
+                    store[k] = store.get(k, 0.0) + float(v)
+        model_m, persist_m, ceil_m = [
+            {k: v / len(batches) for k, v in s.items()} for s in sums]
+        wins, score = wins_and_score(model_m, persist_m)
+        if verbose:
+            print(f"\n[{tag}] {'metric':<22}{'model':>10}{'persistence':>13}"
+                  f"{'vae-ceiling':>13}{'better?':>9}")
+            for k in HEADLINE:
+                better = ((model_m[k] > persist_m[k]) if k in HIGHER
+                          else (model_m[k] < persist_m[k]))
+                print(f"[{tag}] {k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}"
+                      f"{ceil_m[k]:>13.4f}{str(better):>9}")
+            print(f"[{tag}] wins {wins}/{len(HEADLINE)}  score {score:+.4f}",
+                  flush=True)
+        return wins, score, model_m, persist_m, ceil_m
+
+    # -------------------------------------------------- stage 1: train the VAE
     warm_ae = max(1, min(30, args.steps_ae // 10))
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
         1e-5, 3e-4, warm_ae, args.steps_ae + warm_ae + 1, 1e-6),
@@ -119,7 +234,10 @@ def main(argv=None):
             recon, post = vae.apply(v, frames, sample_posterior=True,
                                     rng=key, return_posterior=True)
             rec = jnp.mean(jnp.abs(recon - frames))
-            return rec + 1e-6 * jnp.mean(post.kl()), rec
+            total = rec + 1e-6 * jnp.mean(post.kl())
+            if args.ae_csi_weight > 0:
+                total = total + args.ae_csi_weight * soft_csi_loss(recon, frames)
+            return total, rec
         (loss, rec), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
         updates, opt_state = tx.update(grads, opt_state, variables)
         return optax.apply_updates(variables, updates), opt_state, rec
@@ -134,25 +252,11 @@ def main(argv=None):
             print(f"[ae] step {step} rec_l1 {float(rec):.4f}", flush=True)
     print(f"[ae] trained {args.steps_ae} steps in {time.time()-t0:.0f}s, "
           f"final rec_l1 {float(rec):.4f}")
+    evaluate("stage1", vae_vars, fc_vars, rep_batches)
 
     # ---------------- decoder fine-tune machinery (GAN + soft-CSI), 1b & 2b
-    from weatherforecastingtoolkit_tpu.metrics import VIL_THRESHOLDS
     from weatherforecastingtoolkit_tpu.models.losses.gan import (
         NLayerDiscriminator, adaptive_weight, hinge_d_loss)
-
-    thresholds = jnp.asarray(VIL_THRESHOLDS[:5])  # headline CSI thresholds
-
-    def soft_csi_loss(recon, target, sharp=0.02):
-        """1 - mean soft CSI: sigmoid-relaxed hits against HARD target
-        exceedances, so the gradient pushes reconstructed pixels across
-        the exact thresholds the skill scores binarize at."""
-        th = thresholds.reshape(-1, 1, 1, 1, 1)
-        p = jax.nn.sigmoid((recon[None] - th) / sharp)
-        t = (target[None] > th).astype(jnp.float32)
-        tp = jnp.sum(p * t, axis=(1, 2, 3, 4))
-        fn = jnp.sum((1 - p) * t, axis=(1, 2, 3, 4))
-        fp = jnp.sum(p * (1 - t), axis=(1, 2, 3, 4))
-        return 1.0 - jnp.mean(tp / (tp + fn + fp + 1.0))
 
     def finetune_decoder(tag, steps, vv, make_pairs, lr=1e-4):
         """Adaptive-weight PatchGAN + soft-CSI fine-tune of the decoder
@@ -239,31 +343,24 @@ def main(argv=None):
 
         vae_vars = finetune_decoder("dec-ft", args.steps_dec_ft, vae_vars,
                                     recon_pairs)
+        evaluate("stage1b", vae_vars, fc_vars, rep_batches)
 
     # ----------------------------------------- stage 2: train DLinear on latents
-    n_down = len(blocks) - 1
-    lat_hw = hw // (2 ** n_down)
-    d = args.latent_ch * lat_hw * lat_hw
-    fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
-    fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
     warm_fc = max(1, min(30, args.steps_fc // 10))
     fc_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
         1e-4, 1e-3, warm_fc, args.steps_fc + warm_fc + 1, 1e-6),
         weight_decay=0.0)
     fc_opt = fc_tx.init(fc_vars)
 
-    def encode_mode(frames):
-        return vae.apply(vae_vars, frames, method=vae.encode).mode()
-
-    def decode(latents):
-        return vae.apply(vae_vars, latents, method=vae.decode)
+    def encode_mode(vv, frames):
+        return vae.apply(vv, frames, method=vae.encode).mode()
 
     @jax.jit
-    def fc_step(fc_vars, fc_opt, batch):
+    def fc_step(vv, fc_vars, fc_opt, batch):
         def loss_fn(fv):
             x = batch["vil"]
             b, t = x.shape[:2]
-            z = encode_mode(x.reshape((-1,) + x.shape[2:])).reshape(b, t, -1)
+            z = encode_mode(vv, x.reshape((-1,) + x.shape[2:])).reshape(b, t, -1)
             inp, tgt = z[:, :args.t_in], z[:, args.t_in:]
             anchor = inp[:, -1:]
             pred = fc.apply(fv, inp - anchor)
@@ -274,17 +371,13 @@ def main(argv=None):
 
     t0 = time.time()
     for step in range(args.steps_fc):
-        fc_vars, fc_opt, loss = fc_step(fc_vars, fc_opt, next(it))
+        fc_vars, fc_opt, loss = fc_step(vae_vars, fc_vars, fc_opt, next(it))
         if step % 50 == 0:
             print(f"[fc] step {step} latent_mse {float(loss):.5f}", flush=True)
     print(f"[fc] trained {args.steps_fc} steps in {time.time()-t0:.0f}s")
+    evaluate("stage2", vae_vars, fc_vars, rep_batches)
 
-    # -------------- stage 2b: sharpen the decoder on PREDICTED latents.
-    # The L2-trained linear forecaster predicts slightly blurred latents; a
-    # decoder fine-tuned only on encoder latents never sees that distribution.
-    # Training the decoder (GAN + soft-CSI) on (forecasted latent -> true
-    # future frame) pairs is the "thresholded-CSI-aware fine-tune" that makes
-    # the ROLLOUT cross the skill-score thresholds, not just the roundtrip.
+    # -------------- stage 2b: sharpen the decoder on PREDICTED latents
     if args.steps_dec_ft2 > 0:
         frozen2, frozen_fc = vae_vars, fc_vars
 
@@ -302,50 +395,68 @@ def main(argv=None):
 
         vae_vars = finetune_decoder("dec-ft2(pred)", args.steps_dec_ft2,
                                     vae_vars, pred_pairs)
+        evaluate("stage2b", vae_vars, fc_vars, rep_batches)
 
-    # ------------------------------------------------ stage 3: eval vs persistence
-    pipeline = make_forecast_pipeline(
-        encode_apply=encode_mode, decode_apply=decode,
-        forecaster_apply=lambda p_, z: fc.apply(p_, z),
-        input_frames=args.t_in, pred_frames=args.t_out)
-    eval_fn = make_eval_fn(pipeline, args.t_in, args.t_out)
-    from weatherforecastingtoolkit_tpu.data.prefetch import BatchLoader
-    eval_bs = max(1, min(args.batch, len(test_ds)))
-    test_batches = [jnp.asarray(b["vil"]) for b in
-                    BatchLoader(test_ds, eval_bs, num_workers=2)]
-    model_m, persist_m = evaluate_vs_persistence(eval_fn, fc_vars, test_batches)
+    # -------------- stage 2c: forecaster end-to-end pixel fine-tune through
+    # the FROZEN decoder (decoder untouched -> the VAE ceiling is preserved)
+    if args.steps_e2e > 0:
+        warm = max(1, args.steps_e2e // 10)
+        e2e_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+            1e-6, 1e-4, warm, args.steps_e2e + warm + 1, 1e-7),
+            weight_decay=0.0)
+        e2e_opt = e2e_tx.init(fc_vars)
 
-    # VAE-roundtrip ceiling: the best any latent forecaster could score given
-    # this autoencoder (encode+decode the TARGET frames and score vs raw)
-    from weatherforecastingtoolkit_tpu.metrics import calc_metrics
+        @jax.jit
+        def e2e_step(vv, fv, opt, batch):
+            x = batch["vil"]
+            b, t = x.shape[:2]
+            z = jax.lax.stop_gradient(
+                encode_mode(vv, x.reshape((-1,) + x.shape[2:])).reshape(b, t, -1))
+            inp, ztgt = z[:, :args.t_in], z[:, args.t_in:]
+            anchor = inp[:, -1:]
+            tgt = x[:, args.t_in:].reshape((b * args.t_out,) + x.shape[2:])
 
-    @jax.jit
-    def roundtrip(seq):
-        tgt = seq[:, args.t_in:args.t_in + args.t_out]
-        b, t = tgt.shape[:2]
-        flat = tgt.reshape((b * t,) + tgt.shape[2:])
-        rec = decode(encode_mode(flat))
-        return rec.reshape(tgt.shape), tgt
+            def loss_fn(fv):
+                zp = fc.apply(fv, inp - anchor) + anchor
+                frames = vae.apply(vv, zp.reshape(
+                    (b * args.t_out, args.latent_ch, lat_hw, lat_hw)),
+                    method=vae.decode)
+                l1 = jnp.mean(jnp.abs(frames - tgt))
+                csi = soft_csi_loss(frames, tgt)
+                lat = jnp.mean((zp - ztgt) ** 2)
+                total = (l1 + args.e2e_csi_weight * csi
+                         + args.e2e_lat_weight * lat)
+                return total, (l1, csi, lat)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(fv)
+            upd, opt = e2e_tx.update(grads, opt, fv)
+            return optax.apply_updates(fv, upd), opt, aux
 
-    ceil_sums, nb = {}, 0
-    for seq in test_batches:
-        rec, tgt = roundtrip(seq)
-        for k, v in calc_metrics(rec, tgt).items():
-            ceil_sums[k] = ceil_sums.get(k, 0.0) + v
-        nb += 1
-    ceil_m = {k: v / nb for k, v in ceil_sums.items()}
+        best = (-1, -1e9, jax.device_get(fc_vars))  # (wins, score, params)
+        t0 = time.time()
+        for step in range(args.steps_e2e):
+            fc_vars, e2e_opt, aux = e2e_step(vae_vars, fc_vars, e2e_opt,
+                                             next(it))
+            if step % 50 == 0:
+                print(f"[e2e] step {step} l1 {float(aux[0]):.4f} "
+                      f"csi_loss {float(aux[1]):.4f} "
+                      f"lat_mse {float(aux[2]):.5f}", flush=True)
+            if (step + 1) % args.eval_every == 0 or step == args.steps_e2e - 1:
+                wins, score, *_ = evaluate(f"e2e@{step+1}(sel)", vae_vars,
+                                           fc_vars, sel_batches, verbose=False)
+                print(f"[e2e] step {step+1} selection wins {wins}/5 "
+                      f"score {score:+.4f}", flush=True)
+                if (wins, score) > best[:2]:
+                    best = (wins, score, jax.device_get(fc_vars))
+        fc_vars = jax.device_put(best[2])
+        print(f"[e2e] fine-tuned {args.steps_e2e} steps in {time.time()-t0:.0f}s;"
+              f" kept checkpoint with selection wins {best[0]}/5 "
+              f"score {best[1]:+.4f}")
 
-    headline = ["SSIM", "PSNR", "CRPS", "paper_CSI_M_POOL1", "paper_HSS_POOL1"]
-    higher = {"SSIM", "PSNR", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
-    print(f"\n{'metric':<22}{'model':>10}{'persistence':>13}{'vae-ceiling':>13}"
-          f"{'better?':>9}")
-    wins = 0
-    for k in headline:
-        better = (model_m[k] > persist_m[k]) if k in higher else (model_m[k] < persist_m[k])
-        wins += int(better)
-        print(f"{k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}"
-              f"{ceil_m[k]:>13.4f}{str(better):>9}")
-    print(f"\nmodel beats persistence on {wins}/{len(headline)} headline metrics")
+    # ------------------------------------------ stage 3: final report
+    wins, score, model_m, persist_m, ceil_m = evaluate(
+        "final", vae_vars, fc_vars, rep_batches)
+    print(f"\nmodel beats persistence on {wins}/{len(HEADLINE)} headline "
+          f"metrics (report split)")
     print("(vae-ceiling = metrics of encode->decode roundtrip of the target "
           "frames: the autoencoder's upper bound for ANY latent forecaster)")
     return wins

@@ -1,0 +1,82 @@
+"""bench.py contract: one JSON line with the driver-tracked keys, at toy size.
+
+Runs the whole bench (rollout fp32+bf16 + SSIM gate + cost analysis + GAN
+train step) on the CPU backend with tiny shapes by monkeypatching the module
+constants — the real numbers come from the TPU run, but the program structure
+and the JSON-line schema are pinned here.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import bench
+bench.BATCH, bench.T_IN, bench.T_OUT = 2, 4, 3
+bench.HW, bench.LATENT_C, bench.LATENT_HW = 32, 4, 8
+bench.VAE_CHANNELS = (8, 16)
+bench.NORM_GROUPS = 4
+bench.BASELINE_CACHE = {cache!r}
+
+# shrink the training bench too
+import numpy as np, jax, jax.numpy as jnp, optax
+from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator
+from weatherforecastingtoolkit_tpu.training.gan import make_vae_gan_task
+from weatherforecastingtoolkit_tpu.training.trainer import TrainState
+
+def small_train():
+    B, T, HW = 1, 2, 32
+    model = PosAwareAE(latent_dim=32, enc_channels=(8, 16), num_blocks=1,
+                       dec_channels=(16, 8, 8))
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=1)
+    disc_tx = optax.adam(1e-4)
+    task = make_vae_gan_task(
+        name="t", generator_apply=lambda p, f, r: (model.apply(p, f)[0], None),
+        gen_init=lambda r: model.init(r, jnp.zeros((1, 1, HW, HW))),
+        disc_apply=lambda p, f: disc.apply(p, f),
+        disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, HW, HW))),
+        disc_tx=disc_tx, last_layer_path=("params", "dec_out", "kernel"),
+        disc_start=0)
+    tx = optax.adamw(1e-4)
+    rng = jax.random.key(0)
+    params = task.init_params(rng)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=rng,
+                       extra=task.init_extra(rng, params))
+    step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
+    batch = {{"vil": np.zeros((B, T, 1, HW, HW), np.float32)}}
+    state, aux = step(state, batch)
+    return 1.0
+
+bench.bench_train = small_train
+bench.main()
+"""
+
+
+def test_bench_json_contract(tmp_path):
+    cache = str(tmp_path / "baseline.json")
+    with open(cache, "w") as f:
+        json.dump({"torch_cpu_fps": 1.0}, f)
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # bench.py has no WX_PLATFORM hook; force CPU via a jax config preamble
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            + DRIVER.format(repo=REPO, cache=cache))
+    result = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                            text=True, timeout=600, env=env, cwd=REPO)
+    assert result.returncode == 0, result.stderr[-3000:]
+    line = result.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["metric"] == "sevirlr_12step_rollout_frames_per_sec"
+    assert payload["unit"] == "frames/sec"
+    assert payload["value"] > 0
+    assert payload["vs_baseline"] > 0
+    assert "mfu" in payload and "hbm_bw_util" in payload
+    assert payload["gan_train_steps_per_sec"] == 1.0

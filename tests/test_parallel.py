@@ -60,6 +60,189 @@ def test_dp_train_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-6)
 
 
+def _tiny_vae_gan_task():
+    """Tiny AutoencoderKL + PatchGAN task (full LPIPSWithDiscriminator
+    semantics: NLL + KL + adaptive weight + gated disc)."""
+    import optax
+
+    from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL
+    from weatherforecastingtoolkit_tpu.training.gan import make_vae_gan_task
+
+    hw = 16
+    model = AutoencoderKL(in_channels=1, out_channels=1,
+                          block_out_channels=(8, 16), layers_per_block=1,
+                          latent_channels=4, norm_num_groups=4)
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=1)
+
+    def generator_apply(params, frames, rng_):
+        recon, post = model.apply(params, frames, sample_posterior=True,
+                                  rng=rng_, return_posterior=True)
+        return recon, post.kl()
+
+    task = make_vae_gan_task(
+        name="gan_dp", generator_apply=generator_apply,
+        gen_init=lambda r: model.init(r, jnp.zeros((1, 1, hw, hw))),
+        disc_apply=lambda p, f: disc.apply(p, f),
+        disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, hw, hw))),
+        # SGD on both optimizers: updates stay proportional to gradients,
+        # so cross-sharding reduction-order noise isn't sign-amplified the
+        # way Adam's first-step normalization amplifies near-zero grads
+        disc_tx=optax.sgd(1e-3),
+        last_layer_path=("params", "decoder", "conv_out", "kernel"),
+        kl_weight=1e-6, disc_start=0)
+    return task, hw
+
+
+def test_gan_dp_step_matches_single_device(rng):
+    """The two-optimizer GAN custom_train_step on the 8-device DP mesh must
+    bit-match the single-device step (VAE sampling, adaptive weight, both
+    optimizer updates)."""
+    import optax
+
+    from weatherforecastingtoolkit_tpu.training.trainer import TrainState
+
+    task, hw = _tiny_vae_gan_task()
+    tx = optax.sgd(1e-3)
+    key = jax.random.key(0)
+    params = task.init_params(key)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=key,
+                       extra=task.init_extra(key, params))
+    batch = {"vil": jnp.asarray(
+        rng.random((8, 2, 1, hw, hw)).astype(np.float32))}
+
+    step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
+    s1, aux1 = step(state, batch)
+
+    mesh = make_mesh(("dp",))
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    state_r = jax.device_put(state, rep)
+    batch_r = {"vil": jax.device_put(batch["vil"], dp_sharding(mesh))}
+    s2, aux2 = step(state_r, batch_r)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.extra["disc_params"]),
+                    jax.tree_util.tree_leaves(s2.extra["disc_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_mp_sharded_vae_step_matches_single_device(rng):
+    """AutoencoderKL train step with conv/dense kernels tensor-parallel over
+    'mp' (output-feature axis) on a dp x mp mesh == the single-device step;
+    XLA GSPMD inserts the collectives."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL
+
+    hw = 16
+    model = AutoencoderKL(in_channels=1, out_channels=1,
+                          block_out_channels=(8, 16), layers_per_block=1,
+                          latent_channels=4, norm_num_groups=4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, hw, hw)))
+    tx = optax.sgd(1e-2)
+    opt = tx.init(variables)
+    x = jnp.asarray(rng.random((8, 1, hw, hw)).astype(np.float32))
+
+    @jax.jit
+    def step(v, opt, xb):
+        def loss_fn(v_):
+            recon = model.apply(v_, xb)
+            return jnp.mean((recon - xb) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(v)
+        upd, opt = tx.update(grads, opt, v)
+        return optax.apply_updates(v, upd), opt, loss
+
+    v1, _, loss1 = step(variables, opt, x)
+
+    mesh = make_mesh(("dp", "mp"), shape=(4, 2))
+
+    def spec_for(leaf):
+        # shard the output-feature (last) axis of every weight matrix/kernel
+        if leaf.ndim >= 2 and leaf.shape[-1] % 2 == 0:
+            return P(*([None] * (leaf.ndim - 1) + ["mp"]))
+        return P()
+
+    v_sharded = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, spec_for(leaf))),
+        variables)
+    opt_sharded = tx.init(v_sharded)
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    v2, _, loss2 = step(v_sharded, opt_sharded, x_sharded)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_loaders_feed_dp_ranks(tmp_path, rng):
+    """End-to-end 2-rank emulation: two num_shard=2 SEVIRDataset loaders
+    (rank 0/1) each feed their own device of a 2-device dp mesh via
+    make_array_from_single_device_arrays — multi-host DP semantics — and the
+    sharded step equals the single-device step on the concatenated batch."""
+    import optax
+
+    from weatherforecastingtoolkit_tpu.data.dataset import SEVIRDataset
+    from weatherforecastingtoolkit_tpu.data.prefetch import BatchLoader
+    from weatherforecastingtoolkit_tpu.data.synthetic import make_synthetic_sevir
+    from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+
+    root = tmp_path / "sevir"
+    make_synthetic_sevir(str(root), num_events=8, height=32, width=32,
+                         raw_seq_len=25)
+    loaders = [
+        BatchLoader(
+            SEVIRDataset(catalog=f"{root}/CATALOG.csv", data_dir=f"{root}/data",
+                         seq_len=4, raw_seq_len=25, stride=21, layout="NTCHW",
+                         num_shard=2, rank=r, split_mode="uneven"),
+            batch_size=2, shuffle=False, num_workers=0)
+        for r in range(2)]
+    b0 = next(iter(loaders[0]))["vil"]
+    b1 = next(iter(loaders[1]))["vil"]
+    assert not np.allclose(b0, b1), "ranks must see distinct shards"
+
+    model = PosAwareAE(enc_channels=(8, 16), dec_channels=(16, 8, 8),
+                       num_blocks=1, latent_hw=8, latent_channels=4,
+                       latent_dim=32)
+    tx = optax.adamw(1e-3)
+    flat = np.concatenate([b0, b1]).reshape((-1, 1, 32, 32))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 32, 32)))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, opt, xb):
+        def loss_fn(p_):
+            recon, _ = model.apply(p_, xb)
+            return jnp.mean(jnp.abs(recon - xb))
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, upd), opt, loss
+
+    p1, _, loss1 = step(params, opt, jnp.asarray(flat))
+
+    # each "rank" places ONLY its own shard on its own device
+    mesh = make_mesh(("dp",), shape=(2,), devices=jax.devices()[:2])
+    sharding = dp_sharding(mesh)
+    shards = [b0.reshape((-1, 1, 32, 32)), b1.reshape((-1, 1, 32, 32))]
+    global_x = jax.make_array_from_single_device_arrays(
+        flat.shape, sharding,
+        [jax.device_put(s, d) for s, d in zip(shards, mesh.devices.flat)])
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    p2, _, loss2 = step(jax.device_put(params, rep),
+                        jax.device_put(opt, rep), global_x)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_trainer_with_mesh(tmp_path, rng):
     """Full Trainer fit over the DP mesh on synthetic data."""
     from weatherforecastingtoolkit_tpu.data.datamodule import SEVIRDataModule

@@ -115,7 +115,8 @@ def test_graft_entry_compiles():
     # compile-check via eval_shape (full compile is the driver's job; on the
     # CPU test platform a full VAE compile is minutes)
     out = jax.eval_shape(fn, *args)
-    assert out.shape == (8, 12, 1, 128, 128)
+    import bench
+    assert out.shape == (bench.BATCH, bench.T_OUT, 1, bench.HW, bench.HW)
 
 
 def test_dryrun_multichip_8():

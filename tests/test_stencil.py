@@ -99,6 +99,24 @@ def test_fused_groupnorm_matches_flax(rng):
                                atol=1e-5)
 
 
+def test_groupnorm_bf16_path_tracks_fp32(rng):
+    """The bf16 serving path normalizes in the activation dtype with fp32
+    moments; it must track the fp32 result to bf16 resolution."""
+    import jax.numpy as jnp
+    from weatherforecastingtoolkit_tpu.ops.pallas.groupnorm import (
+        _gn_silu_reference)
+
+    x = rng.standard_normal((2, 16, 16, 32)).astype(np.float32) * 3.0 + 1.0
+    s = rng.random(32).astype(np.float32) + 0.5
+    b = rng.random(32).astype(np.float32)
+    want = _gn_silu_reference(jnp.asarray(x), jnp.asarray(s), jnp.asarray(b),
+                              groups=8, eps=1e-6, silu=True)
+    got = _gn_silu_reference(jnp.asarray(x, jnp.bfloat16), jnp.asarray(s),
+                             jnp.asarray(b), groups=8, eps=1e-6, silu=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=0.05, rtol=0.05)
+
+
 def test_fused_groupnorm_gradients(rng):
     import jax
     import jax.numpy as jnp
