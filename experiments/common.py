@@ -115,6 +115,49 @@ def main(exp_file: str, build_task: Callable,
 
         task = build_task(cfg, dm)
         trainer = Trainer(cfg, task, resume=resume)
+        # pre-fit LR range test (reference pipeline/helpers.py:34-61 saves
+        # lr_range_test.png; here it sweeps the task's own loss/optimizer)
+        lrt = cfg.get("lr_range_test", None)
+        if lrt is not None and lrt.get("enabled", False):
+            import jax as _jax
+            import optax as _optax
+
+            from weatherforecastingtoolkit_tpu.training.optim import (
+                lr_range_test)
+
+            params = task.init_params(_jax.random.key(int(cfg.get("seed", 0))))
+            it = iter(train_loader)
+            rng_box = {"rng": _jax.random.key(1), "params": params}
+
+            @_jax.jit
+            def _sweep_step(params, batch, rng, lr):
+                loss, grads = _jax.value_and_grad(
+                    lambda p: task.loss_fn(p, batch, rng, 0)[0])(params)
+                new = _jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                              params, grads)
+                return new, loss
+
+            def loss_at_lr(lr):
+                nonlocal it
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(train_loader)
+                    batch = next(it)
+                rng_box["rng"], key = _jax.random.split(rng_box["rng"])
+                rng_box["params"], loss = _sweep_step(
+                    rng_box["params"], batch, key, float(lr))
+                return float(loss)
+
+            lrs, losses = lr_range_test(
+                loss_at_lr, start_lr=float(lrt.get("start_lr", 1e-7)),
+                end_lr=float(lrt.get("max_lr", 1.0)),
+                num_iter=int(lrt.get("num_iter", 100)),
+                output_dir=trainer.run_dir)
+            print(f"[lr_range_test] swept {len(lrs)} LRs, plot saved to "
+                  f"{trainer.run_dir}/lr_range_test.png; rule of thumb: "
+                  f"~1/10 of the explosion point (last lr "
+                  f"{lrs[-1]:.2e})")
         # per-run code artifact (reference uploads train.py to W&B per run,
         # ae_v2/train.py:325-327) — a copy in the run dir serves the same
         # reproducibility purpose without the service dependency

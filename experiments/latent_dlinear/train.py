@@ -23,11 +23,20 @@ from weatherforecastingtoolkit_tpu.training.tasks import latent_forecast_task  #
 def build_task(cfg, dm):
     encode_apply, _encode_mode, decode_apply, latent_shape = build_frozen_vae(cfg)
     d = int(np.prod(latent_shape))
+    # channel_fold=true: the reference's _indc_indp variant — latent channels
+    # folded into the sequence axis, features = spatial positions, and (with
+    # individual) one linear per position
+    # (reference pretrained_ae_dlinear_indc_indp/train.py:73-89,161)
+    channel_fold = bool(cfg.dlinear.get("channel_fold", False))
+    c_lat = int(latent_shape[0])
+    seq_mul = c_lat if channel_fold else 1
+    feat = d // c_lat if channel_fold else d
     forecaster = DLinear(
-        seq_len=cfg.dataset.input_frames, pred_len=cfg.dataset.pred_frames,
+        seq_len=cfg.dataset.input_frames * seq_mul,
+        pred_len=cfg.dataset.pred_frames * seq_mul,
         kernel_size=cfg.dlinear.kernel_size,
         individual=cfg.dlinear.get("individual", False),
-        channels=d)
+        channels=feat)
     return latent_forecast_task(
         frozen_ae_apply=encode_apply,
         forecaster=forecaster,
@@ -35,6 +44,7 @@ def build_task(cfg, dm):
         pred_frames=cfg.dataset.pred_frames,
         latent_shape=latent_shape,
         decode_apply=decode_apply,
+        channel_fold=channel_fold,
         name=cfg.experiment_name)
 
 

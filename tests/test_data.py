@@ -115,6 +115,20 @@ def test_augment_deterministic(rng):
     assert augment_thw(x, "0", np.random.default_rng(0)) is x
 
 
+def test_augment_mode1_nearest_matches_reference_interp(rng):
+    """Mode-'1' rotation defaults to NEAREST like the reference's
+    torchvision RandomRotation (sevir/sevir.py:1037-1041): no pixel value
+    that wasn't in the input may appear; bilinear (opt-in) interpolates."""
+    data = (rng.random((2, 16, 16)) > 0.5).astype(np.float32)  # binary frame
+    out_n = augment_thw(data.copy(), "1", np.random.default_rng(3))
+    assert set(np.unique(out_n)) <= {0.0, 1.0}
+    out_b = augment_thw(data.copy(), "1", np.random.default_rng(3),
+                        interp="bilinear")
+    assert len(np.unique(out_b)) > 2  # interpolated intermediate values
+    with pytest.raises(ValueError):
+        augment_thw(data, "1", np.random.default_rng(0), interp="nope")
+
+
 def test_augment_mode1_preserves_shape(rng):
     x = rng.random((3, 16, 16)).astype(np.float32)
     out = augment_thw(x, "1", np.random.default_rng(7))

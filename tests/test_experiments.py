@@ -109,6 +109,48 @@ def test_experiment_with_packed_cache(tmp_path):
     assert "[cache] building packed cache" in result.stdout
 
 
+def test_latent_dlinear_indc_indp_variant(tmp_path):
+    """channel_fold + individual = the reference's _indc_indp DLinear
+    (channels folded into the sequence axis, one linear per spatial position,
+    reference pretrained_ae_dlinear_indc_indp/train.py:73-89,161)."""
+    script = os.path.join(REPO, "experiments", "latent_dlinear", "train.py")
+    overrides = COMMON + SPECIFIC["latent_dlinear"] + [
+        "dlinear.channel_fold=true", "dlinear.individual=true",
+        "dlinear.kernel_size=9",
+        f"experiment_path={tmp_path}/latent_dlinear_indc"]
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run([sys.executable, script, *overrides],
+                            capture_output=True, text=True, timeout=900,
+                            env=env, cwd=REPO)
+    assert result.returncode == 0, (
+        f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
+    assert "done" in result.stdout.splitlines()[-1]
+
+
+def test_experiment_lr_range_test_artifact(tmp_path):
+    """lr_range_test.enabled=true sweeps LRs before fit and saves the plot
+    artifact (reference pipeline/helpers.py:34-61)."""
+    import glob
+    script = os.path.join(REPO, "experiments", "ae_recon", "train.py")
+    overrides = COMMON + SPECIFIC["ae_recon"] + [
+        "lr_range_test.enabled=true", "lr_range_test.num_iter=5",
+        f"experiment_path={tmp_path}/ae_recon_lrt"]
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run([sys.executable, script, *overrides],
+                            capture_output=True, text=True, timeout=900,
+                            env=env, cwd=REPO)
+    assert result.returncode == 0, (
+        f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
+    assert "[lr_range_test] swept" in result.stdout
+    pngs = glob.glob(f"{tmp_path}/ae_recon_lrt/**/lr_range_test.png",
+                     recursive=True)
+    assert pngs, "lr_range_test.png artifact not written"
+
+
 def test_latent_convae_gan_variant(tmp_path):
     """The latent-space PatchGAN path (reference pretrained_ae_conv_disc)."""
     script = os.path.join(REPO, "experiments", "latent_convae", "train.py")

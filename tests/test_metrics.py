@@ -117,6 +117,27 @@ def test_psnr_hand_computed():
     assert float(psnr(a, b)) == pytest.approx(20.0, abs=1e-4)
 
 
+def test_psnr_estimated_range_mode():
+    """data_range=None estimates the range per frame from the target
+    (max - min), matching the reference's bare torchmetrics
+    PeakSignalNoiseRatio() (reference pipeline/metrics.py:77-84)."""
+    a = np.zeros((1, 1, 8, 8), dtype=np.float32)
+    b = np.full((1, 1, 8, 8), 0.1, dtype=np.float32)
+    b[0, 0, 0, 0] = 0.6  # target range = 0.5
+    mse = float(np.mean((a - b) ** 2))
+    want = 10 * np.log10(0.5 ** 2 / mse)
+    assert float(psnr(a, b, data_range=None)) == pytest.approx(want, abs=1e-4)
+    # the pinned-range default reports LOWER values than estimated-range
+    # whenever the target doesn't span [0, 1]
+    assert float(psnr(a, b, data_range=None)) < float(psnr(a, b))
+    # calc_metrics passthrough
+    p = np.zeros((1, 2, 1, 8, 8), np.float32)
+    t = np.full((1, 2, 1, 8, 8), 0.1, np.float32)
+    m1 = calc_metrics(p, t)
+    m2 = calc_metrics(p, t, psnr_data_range=None)
+    assert m2["PSNR"] < m1["PSNR"]  # constant target -> estimated range ~0
+
+
 # ---------------------------------------------------------------- calc_metrics contract
 EXPECTED_KEYS = (
     ["CRPS", "CRPS_4", "CRPS_16", "SSIM", "PSNR"]

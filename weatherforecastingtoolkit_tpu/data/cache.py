@@ -93,7 +93,8 @@ class CachedSEVIRDataset:
                  data_types: Optional[Sequence[str]] = None,
                  seq_len: int = 25, stride: int = 12, layout: str = "NTHWC",
                  rescale_method: str = "01", aug_mode: str = "0",
-                 aug_seed: int = 0, num_shard: int = 1, rank: int = 0,
+                 aug_seed: int = 0, aug_interp: str = "nearest",
+                 num_shard: int = 1, rank: int = 0,
                  split_mode: str = "uneven",
                  event_perm: Optional[Sequence[int]] = None):
         from .dataset import augment_thw, preprocess_array
@@ -130,6 +131,7 @@ class CachedSEVIRDataset:
         self.rescale_method = rescale_method
         self.aug_mode = aug_mode
         self.aug_seed = aug_seed
+        self.aug_interp = aug_interp
         self.epoch = 0
         self.windows = WindowIndex(
             num_events=self._n_events + self._ceil_pad,
@@ -156,7 +158,7 @@ class CachedSEVIRDataset:
             arr = self._preprocess(arr, t, self.rescale_method)
             if aug_rng is not None:
                 arr = self._augment(arr.transpose(2, 0, 1), self.aug_mode,
-                                    aug_rng).transpose(1, 2, 0)
+                                    aug_rng, self.aug_interp).transpose(1, 2, 0)
             transformed = self._change_layout(arr[None], "NHWT", self.layout)
             out[t] = transformed.take(0, axis=self.layout.index("N"))
         return out

@@ -78,6 +78,7 @@ class SEVIRDataModule:
         seed: int = 0,
         val_ratio: float = 0.1,
         aug_mode: str = "0",
+        aug_interp: str = "nearest",
         rescale_method: str = "01",
         data_types: Sequence[str] = ("vil",),
         start_date: Optional[Tuple[int, ...]] = None,
@@ -116,6 +117,7 @@ class SEVIRDataModule:
         self.seed = seed
         self.val_ratio = val_ratio
         self.aug_mode = aug_mode
+        self.aug_interp = aug_interp
         self.rescale_method = rescale_method
         self.data_types = tuple(data_types)
         self.num_shard = num_shard
@@ -153,7 +155,7 @@ class SEVIRDataModule:
             num_shard=self.num_shard, rank=self.rank, split_mode="uneven",
             start_date=start, end_date=end, shuffle=shuffle,
             shuffle_seed=self.seed + 1, rescale_method=self.rescale_method,
-            aug_mode=aug_mode, aug_seed=self.seed)
+            aug_mode=aug_mode, aug_seed=self.seed, aug_interp=self.aug_interp)
 
     def _make_cached(self, start, end, aug_mode, shuffle, tag):
         """Cache-backed twin of _make: build/validate the packed cache for
@@ -180,7 +182,8 @@ class SEVIRDataModule:
             self.cache_dir, split=tag, data_types=self.data_types,
             seq_len=self.seq_len, stride=self.stride, layout=self.layout,
             rescale_method=self.rescale_method, aug_mode=aug_mode,
-            aug_seed=self.seed, num_shard=self.num_shard, rank=self.rank,
+            aug_seed=self.seed, aug_interp=self.aug_interp,
+            num_shard=self.num_shard, rank=self.rank,
             split_mode="uneven", event_perm=perm)
 
     def setup(self, stage: Optional[str] = None) -> None:

@@ -72,13 +72,19 @@ def downsample_hwt(data: np.ndarray, t_factor: int = 1, h_factor: int = 1,
     raise ValueError(method)
 
 
-def augment_thw(data: np.ndarray, mode: str, rng: np.random.Generator) -> np.ndarray:
+def augment_thw(data: np.ndarray, mode: str, rng: np.random.Generator,
+                interp: str = "nearest") -> np.ndarray:
     """Augment a (T, H, W) stack.
 
     mode '0': identity. mode '1': random h/v flips + continuous rotation in
     [-180, 180). mode '2': random h/v flips + a fixed rotation from
     {0, 90, 180, 270} (reference sevir/sevir.py:1034-1050, TransformsFixRotation
     :910-928).
+
+    `interp` selects mode-'1' resampling: 'nearest' matches the reference —
+    torchvision RandomRotation defaults to InterpolationMode.NEAREST
+    (reference sevir/sevir.py:1037-1041) and never creates pixel values that
+    weren't in the frame; 'bilinear' is available as a smoother opt-in.
     """
     if mode == "0":
         return data
@@ -94,8 +100,11 @@ def augment_thw(data: np.ndarray, mode: str, rng: np.random.Generator) -> np.nda
     else:
         from scipy.ndimage import rotate
 
+        if interp not in ("nearest", "bilinear"):
+            raise ValueError(f"aug interp {interp!r}")
         angle = float(rng.uniform(-180.0, 180.0))
-        data = rotate(data, angle, axes=(2, 1), reshape=False, order=1,
+        data = rotate(data, angle, axes=(2, 1), reshape=False,
+                      order=0 if interp == "nearest" else 1,
                       mode="constant", cval=0.0)
     return np.ascontiguousarray(data)
 
@@ -129,6 +138,7 @@ class SEVIRDataset:
         downsample: Optional[Dict[str, Sequence[int]]] = None,
         aug_mode: str = "0",
         aug_seed: int = 0,
+        aug_interp: str = "nearest",
         verbose: bool = False,
     ):
         if layout not in VALID_LAYOUTS:
@@ -150,6 +160,7 @@ class SEVIRDataset:
         self.downsample = downsample or {}
         self.aug_mode = aug_mode
         self.aug_seed = aug_seed
+        self.aug_interp = aug_interp
         self.epoch = 0  # bump between epochs for fresh augmentation draws
         self.windows = WindowIndex(
             num_events=len(self.events) + self._ceil_pad,
@@ -179,8 +190,8 @@ class SEVIRDataset:
             if t in self.downsample:
                 arr = downsample_hwt(arr, *self.downsample[t])
             if aug_rng is not None:
-                arr = augment_thw(arr.transpose(2, 0, 1), self.aug_mode, aug_rng
-                                  ).transpose(1, 2, 0)
+                arr = augment_thw(arr.transpose(2, 0, 1), self.aug_mode,
+                                  aug_rng, self.aug_interp).transpose(1, 2, 0)
             # host layout transform: HWT -> target layout sans batch axis
             transformed = change_layout(arr[None], "NHWT", self.layout)
             out[t] = transformed.take(0, axis=self.layout.index("N"))

@@ -70,9 +70,9 @@ def _crps_gaussian(mean: jax.Array, std: jax.Array, target: jax.Array) -> jax.Ar
     return jnp.mean(val)
 
 
-@functools.partial(jax.jit, static_argnames=("has_ensemble",))
-def _calc_metrics_jit(pred: jax.Array, target: jax.Array, has_ensemble: bool
-                      ) -> Dict[str, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("has_ensemble", "psnr_data_range"))
+def _calc_metrics_jit(pred: jax.Array, target: jax.Array, has_ensemble: bool,
+                      psnr_data_range=1.0) -> Dict[str, jax.Array]:
     pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
     target = jnp.clip(target.astype(jnp.float32), 0.0, 1.0)
 
@@ -112,7 +112,7 @@ def _calc_metrics_jit(pred: jax.Array, target: jax.Array, has_ensemble: bool
     p_nchw = single.reshape((-1,) + single.shape[-3:])
     t_nchw = target.reshape((-1,) + target.shape[-3:])
     results["SSIM"] = _ssim_nchw(p_nchw, t_nchw, data_range=1.0)
-    results["PSNR"] = _psnr_nchw(p_nchw, t_nchw, data_range=1.0)
+    results["PSNR"] = _psnr_nchw(p_nchw, t_nchw, data_range=psnr_data_range)
 
     # ---- CSI / HSS: 6 thresholds x 3 pool scales, one pass each scale ------
     th = jnp.asarray(VIL_THRESHOLDS, dtype=jnp.float32)
@@ -135,17 +135,23 @@ def _calc_metrics_jit(pred: jax.Array, target: jax.Array, has_ensemble: bool
     return results
 
 
-def calc_metrics(pred, target) -> Dict[str, float]:
+def calc_metrics(pred, target, psnr_data_range=1.0) -> Dict[str, float]:
     """Drop-in analog of reference `calc_metrics` (pipeline/metrics.py:86-133).
 
     pred, target: array-likes of shape (B, T, C, H, W) in [0, 1]; pred may
     carry an ensemble axis (B, N, T, C, H, W). Returns a flat dict of python
     floats including the `paper_*` aggregates.
+
+    psnr_data_range: 1.0 (default) pins the PSNR range to the [0, 1] clamp;
+    None reproduces the reference's torchmetrics default, which ESTIMATES the
+    range per frame from the target (max - min) and therefore reports
+    systematically HIGHER PSNR — pass None when comparing numbers against
+    reference-published values (see ops/ssim.py:psnr).
     """
     pred = jnp.asarray(pred)
     target = jnp.asarray(target)
     has_ensemble = pred.ndim == 6
-    raw = _calc_metrics_jit(pred, target, has_ensemble)
+    raw = _calc_metrics_jit(pred, target, has_ensemble, psnr_data_range)
     raw = jax.device_get(raw)
 
     results: Dict[str, float] = {}

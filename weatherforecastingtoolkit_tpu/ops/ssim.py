@@ -72,11 +72,25 @@ def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
     return jnp.mean(num / den)
 
 
-def psnr(pred: jax.Array, target: jax.Array, data_range: float = 1.0) -> jax.Array:
+def psnr(pred: jax.Array, target: jax.Array,
+         data_range: "float | None" = 1.0) -> jax.Array:
     """Per-image PSNR averaged over the batch (reference averages per-frame,
-    pipeline/metrics.py:77-84). (N, C, H, W) -> scalar."""
+    pipeline/metrics.py:77-84). (N, C, H, W) -> scalar.
+
+    data_range=None reproduces the reference's bare torchmetrics
+    PeakSignalNoiseRatio() behavior: the range is ESTIMATED per frame as the
+    target's max - min (a deprecated torchmetrics quirk that inflates PSNR on
+    low-contrast frames). The default pins 1.0 — inputs are clamped to [0, 1]
+    — which is systematically LOWER than the estimated-range numbers the
+    reference reports; use data_range=None when comparing against them."""
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
-    val = 10.0 * jnp.log10((data_range ** 2) / jnp.maximum(mse, 1e-12))
+    if data_range is None:
+        rng = (jnp.max(target, axis=(1, 2, 3))
+               - jnp.min(target, axis=(1, 2, 3)))
+        rng = jnp.maximum(rng, 1e-6)
+    else:
+        rng = data_range
+    val = 10.0 * jnp.log10((rng ** 2) / jnp.maximum(mse, 1e-12))
     return jnp.mean(val)

@@ -95,26 +95,47 @@ def latent_forecast_task(frozen_ae_apply: Callable, forecaster,
                          input_frames: int, pred_frames: int,
                          latent_shape, decode_apply: Optional[Callable] = None,
                          key: str = "vil", name: str = "latent_forecast",
-                         residual_anchor: bool = True) -> Task:
+                         residual_anchor: bool = True,
+                         channel_fold: bool = False) -> Task:
     """Forecast a frozen encoder's latents; MSE in latent space.
 
     frozen_ae_apply(frames (N,C,H,W), rng) -> latents (N, *latent_shape);
     decode_apply(latents) -> frames, used only for eval metrics/panels.
     `residual_anchor` subtracts the last input latent (persistence-anchored
     deltas, reference ae_s2/train.py:158-161).
+
+    `channel_fold=True` folds latent channels into the SEQUENCE axis: the
+    forecaster sees (B, T*C, h*w) — time-and-channel rows over spatial
+    features — instead of (B, T, C*h*w). The reference's `_indc_indp`
+    variant (pretrained_ae_dlinear_indc_indp/train.py:73-89,161): its
+    DLinear linears are (seq_len*4 -> pred_len*4) over the folded axis, with
+    `individual` giving each spatial position its own linear. Size the
+    forecaster with seq_len=input_frames*C, pred_len=pred_frames*C.
     """
+    c_lat = int(latent_shape[0]) if channel_fold else 1
+
+    def _fold(z, b, t):
+        # (B, T, C, hw) -> (B, T*C, hw) | identity for the flat layout
+        return z.reshape(b, t * c_lat, -1) if channel_fold else z
 
     def init_params(rng):
         d = int(jnp.prod(jnp.asarray(latent_shape)))
-        dummy = jnp.zeros((1, input_frames, d), jnp.float32)
+        if channel_fold:
+            dummy = jnp.zeros((1, input_frames * c_lat, d // c_lat), jnp.float32)
+        else:
+            dummy = jnp.zeros((1, input_frames, d), jnp.float32)
         return forecaster.init(rng, dummy)
 
     def _encode_seq(x, rng):
         b, t = x.shape[:2]
         z = frozen_ae_apply(_frames(x), rng)          # (B*T, *latent_shape)
+        if channel_fold:
+            return z.reshape(b, t, c_lat, -1)         # (B, T, C, hw)
         return z.reshape(b, t, -1)                    # (B, T, D)
 
     def _split_anchor(z):
+        # works on both layouts: the anchor (last input frame) broadcasts
+        # over the time axis, per-channel in the 4-D channel_fold layout
         inp, tgt = z[:, :input_frames], z[:, input_frames:]
         if residual_anchor:
             anchor = inp[:, -1:]
@@ -123,10 +144,11 @@ def latent_forecast_task(frozen_ae_apply: Callable, forecaster,
 
     def loss_fn(params, batch, rng, step):
         x = dequantize(batch[key])
+        b = x.shape[0]
         z = _encode_seq(x, rng)
         inp, tgt, _ = _split_anchor(z)
-        pred = forecaster.apply(params, inp)
-        loss_val = jnp.mean((pred - tgt) ** 2)
+        pred = forecaster.apply(params, _fold(inp, b, input_frames))
+        loss_val = jnp.mean((pred - _fold(tgt, b, pred_frames)) ** 2)
         return loss_val, {}
 
     def eval_fn(params, batch, rng):
@@ -134,10 +156,16 @@ def latent_forecast_task(frozen_ae_apply: Callable, forecaster,
         b = x.shape[0]
         z = _encode_seq(x, rng)
         inp, tgt, anchor = _split_anchor(z)
-        pred = forecaster.apply(params, inp) + anchor
+        pred = forecaster.apply(params, _fold(inp, b, input_frames))
+        if channel_fold:
+            pred = pred.reshape(tgt.shape)
+        pred = pred + anchor
         tgt = tgt + anchor
         if decode_apply is None:
             # latent-space "images" for loss-only eval
+            if channel_fold:
+                pred = pred.reshape(b, pred_frames, -1)
+                tgt = tgt.reshape(b, pred_frames, -1)
             return pred[..., None, None, :], tgt[..., None, None, :]
         shp = (b * pred_frames,) + tuple(latent_shape)
         dec_pred = decode_apply(pred.reshape(shp))
