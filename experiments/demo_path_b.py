@@ -129,14 +129,22 @@ def main(argv=None):
     # the sevirlr preset assumes raw_seq_len=25; the fixture must match it
     make_synthetic_sevir(root, num_events=args.events, height=args.img_size,
                          width=args.img_size, raw_seq_len=25)
+    # EVENT-level held-out split: synthetic events are weekly from Jan 1;
+    # the last ~20% of events (by date) are never trained on. A window-level
+    # random split would leak frames between train and eval whenever
+    # window_stride < seq_len (overlapping windows of the same event).
+    import pandas as pd
+    dates = pd.date_range("2019-01-01", periods=args.events, freq="7D")
+    val_boundary = dates[int(round(args.events * 0.8)) - 1]
     dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=root,
                          seq_len=raw_seq, stride=args.window_stride,
                          layout="NTCHW", batch_size=args.batch, num_workers=4,
-                         train_test_split_date=(2019, 7, 1), val_ratio=0.15)
+                         val_split_date=(val_boundary.year, val_boundary.month,
+                                         val_boundary.day),
+                         train_test_split_date=None)
     dm.prepare_data()
     dm.setup(stage="fit")
-    # synthetic events are weekly from Jan 1; the random val split is held
-    # out of training entirely — half selects checkpoints, half reports
+    # held-out events: half select checkpoints, half report final numbers
     test_ds = dm.sevir_val
     eval_bs = max(1, min(args.batch, len(test_ds)))
     all_eval = [jnp.asarray(b["vil"]) for b in
