@@ -66,7 +66,20 @@ def _stencil_kernel(params_ref, x0_ref, x1_ref, out_ref):
     x0 = x0_ref[0]
     x1 = x1_ref[0]
     r = _interior_residual(x0, x1, u, v, kappa)
-    out_ref[0, 0] = jnp.sum(r * r)
+    s = jnp.sum(r * r)
+    # TPU grid steps run sequentially on one core; accumulate the scalar
+    # partial sums into ONE SMEM cell (a (1, 1) block can't be a per-step
+    # output row — Mosaic requires the last two block dims be (8, 128)-tiled
+    # or equal to the full array's)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0, 0] = s
+
+    @pl.when(i > 0)
+    def _acc():
+        out_ref[0, 0] += s
 
 
 def advection_diffusion_loss(x: jnp.ndarray, u, v, kappa,
@@ -97,7 +110,7 @@ def advection_diffusion_loss(x: jnp.ndarray, u, v, kappa,
                         jnp.asarray(v, jnp.float32),
                         jnp.asarray(kappa, jnp.float32)])
 
-    partial_sums = pl.pallas_call(
+    total = pl.pallas_call(
         _stencil_kernel,
         grid=(n,),
         in_specs=[
@@ -107,13 +120,13 @@ def advection_diffusion_loss(x: jnp.ndarray, u, v, kappa,
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
     )(params, x0, x1)
     denom = n * (h - 2) * (w - 2)
-    return jnp.sum(partial_sums) / denom
+    return total[0, 0] / denom
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
