@@ -100,8 +100,8 @@ def test_fused_groupnorm_matches_flax(rng):
 
 
 def test_groupnorm_bf16_path_tracks_fp32(rng):
-    """The bf16 serving path normalizes in the activation dtype with fp32
-    moments; it must track the fp32 result to bf16 resolution."""
+    """bf16 activations run the same fp32 GN chain (cast only at the end);
+    the result must track the pure-fp32 result to bf16 resolution."""
     import jax.numpy as jnp
     from weatherforecastingtoolkit_tpu.ops.pallas.groupnorm import (
         _gn_silu_reference)

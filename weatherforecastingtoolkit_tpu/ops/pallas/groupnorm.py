@@ -80,30 +80,21 @@ def _gn_silu_forward(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 def _gn_silu_reference(x, scale, bias, groups, eps, silu):
     """XLA reference semantics (also the CPU fallback and VJP recompute).
 
-    Moments are ALWAYS accumulated in fp32 (a bf16 mean over 16k pixels is
-    garbage), but the elementwise normalize/affine/SiLU chain runs in the
-    activation dtype: in the bf16 serving path that halves the HBM bytes of
-    the GN fusions the rollout profile attributed ~30%% of step time to
-    (RESULTS.md), and the bench's SSIM gate verifies the numerics.
+    The whole chain — moments, normalize, affine, SiLU — runs in fp32 with a
+    single cast back to the activation dtype at the end. A bf16-elementwise
+    variant (folded per-channel mul/add applied in bf16) was measured: it
+    bought only ~1% rollout throughput (XLA fuses the converts into the
+    surrounding conv epilogues anyway) but the extra per-layer roundings
+    dropped the bench's bf16-vs-fp32 SSIM gate below 0.995 — a bad trade, so
+    fp32 elementwise is the keeper.
     """
     n, h, w, c = x.shape
     xf = x.astype(jnp.float32).reshape(n, h * w, groups, c // groups)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    if x.dtype == jnp.float32:
-        xn = ((xf - mean) * inv).reshape(n, h, w, c)
-        y = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    else:
-        # fold (mean, inv, scale, bias) into one per-channel (mul, add) pair
-        # computed in fp32, then apply it to x in its own dtype
-        gs = c // groups
-        inv_c = jnp.repeat(inv.reshape(n, groups), gs, axis=1)      # (N, C)
-        mean_c = jnp.repeat(mean.reshape(n, groups), gs, axis=1)    # (N, C)
-        mul = inv_c * scale.astype(jnp.float32)
-        add = bias.astype(jnp.float32) - mean_c * mul
-        y = (x * mul[:, None, None, :].astype(x.dtype)
-             + add[:, None, None, :].astype(x.dtype))
+    xn = ((xf - mean) * inv).reshape(n, h, w, c)
+    y = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
