@@ -273,3 +273,31 @@ def test_trainer_with_mesh(tmp_path, rng):
     state = trainer.fit(dm.train_loader())
     assert int(state.step) >= 1
     trainer.close()
+
+
+def test_dp_serving_matches_single_device(rng):
+    """make_dp_serving_fn: dp-sharded rollout == single-device rollout,
+    including an uneven batch that needs padding."""
+    from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
+    from weatherforecastingtoolkit_tpu.models.rollout import make_forecast_pipeline
+    from weatherforecastingtoolkit_tpu.parallel.serving import make_dp_serving_fn
+
+    t_in, t_out, hw = 5, 3, 8
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    d = hw * hw  # identity "VAE": latent == flattened frame
+    fc_vars = fc.init(jax.random.key(0), jnp.zeros((1, t_in, d)))
+
+    pipeline = make_forecast_pipeline(
+        encode_apply=lambda f: f.reshape(f.shape[0], -1),
+        decode_apply=lambda z: z.reshape(z.shape[0], 1, hw, hw),
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out)
+
+    frames = rng.random((13, t_in, 1, hw, hw)).astype(np.float32)  # 13 % 8 != 0
+    single = np.asarray(jax.jit(pipeline)(fc_vars, jnp.asarray(frames)))
+
+    mesh = make_mesh(("dp",))
+    serve = make_dp_serving_fn(pipeline, mesh, params=fc_vars)
+    served = serve(frames)
+    assert served.shape == single.shape
+    np.testing.assert_allclose(served, single, atol=1e-6)

@@ -1,0 +1,58 @@
+"""Data-parallel batch inference for jitted pipelines (serving scale-out).
+
+The rollout pipeline (models/rollout.py) is embarrassingly parallel over the
+batch axis: every sample's encode -> forecast -> decode chain is independent.
+Scaling it over a chip pod is therefore pure dp sharding — params replicated,
+batch split over 'dp', zero collectives in the program. XLA partitions the
+convs/matmuls per shard and each chip runs the identical single-chip program
+on its slice; throughput scales linearly with chips until the per-chip batch
+drops below the MXU-saturating size (bench.py's sweep: ~32+ frames per chip).
+
+Reference capability parity: the reference serves its Path-B chain on a single
+GPU in a python loop (reference experiments/ae_s2/train.py:29-51); this module
+is the corresponding production path, designed mesh-first.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import dp_sharding, replicated
+
+
+def make_dp_serving_fn(pipeline: Callable, mesh: Mesh,
+                       params=None) -> Callable:
+    """Wrap pipeline(params, frames) for dp-sharded batch serving.
+
+    Returns serve(frames, params=None) -> np.ndarray predictions, where
+    frames (B, T, C, H, W) is host data. Handles batches not divisible by the
+    dp size by padding with the last sample and stripping the padding after.
+    The jitted program is compiled once per (padded) batch shape.
+    """
+    dp = mesh.devices.size
+    rep = replicated(mesh)
+    shard = dp_sharding(mesh)
+    fixed_params = jax.device_put(params, rep) if params is not None else None
+
+    jitted = jax.jit(pipeline, in_shardings=(rep, shard),
+                     out_shardings=shard)
+
+    def serve(frames, params=None):
+        p = (jax.device_put(params, rep) if params is not None
+             else fixed_params)
+        if p is None:
+            raise ValueError("params must be given at build or call time")
+        b = frames.shape[0]
+        pad = (-b) % dp
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
+        out = jitted(p, jax.device_put(jnp.asarray(frames), shard))
+        return np.asarray(out)[:b]
+
+    return serve
