@@ -26,7 +26,8 @@ def build_task(cfg, dm):
     m = cfg.model
     model = Earthformer(t_in=m.t_in, t_out=m.t_out, in_channels=m.in_channels,
                         patch=m.patch, dim=m.dim, depth=m.depth,
-                        num_heads=m.num_heads, window=tuple(m.window))
+                        num_heads=m.num_heads, window=tuple(m.window),
+                        residual_out=m.get("residual_out", False))
     px = pixel_loss(cfg.get("loss", "mse"))
     prior = cfg.get("physics_prior", {})
     hw = cfg.dataset.get("img_size", 128)

@@ -127,7 +127,8 @@ def run_earthformer(args):
     dm, eval_batches = make_data(args.events, args.img_size, t_in, t_out,
                                  args.batch)
     model = Earthformer(t_in=t_in, t_out=t_out, in_channels=1, patch=8,
-                        dim=128, depth=4, num_heads=4, window=(4, 4))
+                        dim=128, depth=4, num_heads=4, window=(4, 4),
+                        residual_out=True)
     params = model.init(jax.random.key(0),
                         jnp.zeros((1, t_in, 1, args.img_size, args.img_size)))
     n_par = sum(int(np.prod(p.shape))
@@ -177,7 +178,12 @@ def run_token_vit(args):
     hw = args.img_size
     vit_vars = vit.init(jax.random.key(0), jnp.zeros((1, 1, hw, hw)))
 
-    # ---- stage 1: train the ViT AE to reconstruct frames
+    # ---- stage 1: train the TOKEN roundtrip (encode_tokens -> decode_tokens).
+    # The forecaster operates on the [n_tok, d] token-sequence latent
+    # (reference README.md:96-109), so that is the pathway that must
+    # reconstruct — NOT the collapsed 2048-d vector bottleneck (training only
+    # encode->decode leaves decode_tokens consuming a token distribution the
+    # decoder has never seen, which produced garbage forecasts).
     warm = max(1, args.steps_ae // 10)
     ae_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
         1e-5, 3e-4, warm, args.steps_ae + warm + 1, 1e-6), weight_decay=1e-4)
@@ -190,7 +196,8 @@ def run_token_vit(args):
         frames = x.reshape((-1,) + x.shape[2:])
 
         def loss_fn(v):
-            recon, _ = vit.apply(v, frames)
+            tokens = vit.apply(v, frames, method=vit.encode_tokens)
+            recon = vit.apply(v, tokens, method=vit.decode_tokens)
             return jnp.mean(jnp.abs(recon - frames))
         loss, grads = jax.value_and_grad(loss_fn)(vv)
         upd, opt = ae_tx.update(grads, opt, vv)
@@ -240,6 +247,26 @@ def run_token_vit(args):
         flat = pred_tok.reshape((b * t_out, n_tok, 256))
         frames = vit.apply(vit_vars, flat, method=vit.decode_tokens)
         return frames.reshape((b, t_out) + frames.shape[1:])
+
+    @jax.jit
+    def roundtrip(frames_in):
+        """Token-path ceiling: decode_tokens(encode_tokens(target))."""
+        b, t = frames_in.shape[:2]
+        flat = frames_in.reshape((b * t,) + frames_in.shape[2:])
+        tok = vit.apply(vit_vars, flat, method=vit.encode_tokens)
+        rec = vit.apply(vit_vars, tok, method=vit.decode_tokens)
+        return rec.reshape((b, t) + rec.shape[1:])
+
+    # diagnostics: the AE roundtrip ceiling on the held-out targets
+    s_sum = 0.0
+    from weatherforecastingtoolkit_tpu.ops.ssim import ssim as _ssim
+    for seq in eval_batches:
+        target = seq[:, t_in:t_in + t_out]
+        rt = roundtrip(target)
+        s_sum += float(_ssim(np.asarray(rt).reshape(-1, 1, hw, hw),
+                             np.asarray(target).reshape(-1, 1, hw, hw)))
+    print(f"[token_vit] token-roundtrip ceiling SSIM on held-out targets: "
+          f"{s_sum / len(eval_batches):.4f}")
 
     return report("token_vit", predict, eval_batches, t_in, t_out)
 

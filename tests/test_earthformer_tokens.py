@@ -41,6 +41,18 @@ def test_earthformer_forward(rng):
     assert 0.0 <= float(y.min()) and float(y.max()) <= 1.0
 
 
+def test_earthformer_residual_out_starts_at_persistence(rng):
+    """residual_out zero-inits the head, so the untrained model IS the
+    persistence baseline — it only ever learns corrections."""
+    model = Earthformer(t_in=5, t_out=4, patch=8, dim=32, depth=2,
+                        num_heads=4, window=(2, 2), residual_out=True)
+    x = jnp.asarray(rng.random((2, 5, 1, 32, 32)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x)
+    persist = jnp.repeat(x[:, -1:], 4, axis=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(persist), atol=1e-6)
+
+
 def test_earthformer_gradients(rng):
     model = Earthformer(t_in=3, t_out=2, patch=8, dim=16, depth=2,
                         num_heads=2, window=(2, 2))

@@ -92,6 +92,7 @@ class Earthformer(nn.Module):
     num_heads: int = 4
     window: Tuple[int, int] = (4, 4)
     sigmoid_head: bool = True
+    residual_out: bool = False  # predict deltas off the persistence frame
 
     @nn.compact
     def __call__(self, frames: jnp.ndarray, deterministic: bool = True
@@ -129,8 +130,15 @@ class Earthformer(nn.Module):
 
         # unpatchify per frame
         y = out.reshape(b * self.t_out, gh, gw, self.dim)
+        kinit = (nn.initializers.zeros if self.residual_out
+                 else nn.linear.default_kernel_init)
         y = nn.ConvTranspose(self.in_channels, (self.patch, self.patch),
                              strides=(self.patch, self.patch), padding="VALID",
-                             name="unpatch")(y)
+                             kernel_init=kinit, name="unpatch")(y)
         y = nhwc_to_nchw(y).reshape(b, self.t_out, self.in_channels, hh, wwd)
+        if self.residual_out:
+            # persistence-anchored deltas (zero-init head => the model starts
+            # EXACTLY at the persistence baseline and learns corrections) —
+            # the same anchoring trick the Path-B latents use (rollout.py:76)
+            return jnp.clip(frames[:, -1:] + y, 0.0, 1.0)
         return nn.sigmoid(y) if self.sigmoid_head else y
