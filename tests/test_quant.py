@@ -1,0 +1,75 @@
+"""int8 quantized serving path (ops/quant.py): native parity + int8 accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from weatherforecastingtoolkit_tpu.ops.quant import QConv, int8_conv
+
+
+def test_qconv_native_matches_nn_conv(rng):
+    """mode='native' must be numerically identical to flax nn.Conv with the
+    same parameters (drop-in guarantee for existing checkpoints)."""
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 7)).astype(np.float32))
+    ref = nn.Conv(5, (3, 3), strides=2, padding=1)
+    rv = ref.init(jax.random.key(3), x)
+    q = QConv(5, (3, 3), strides=2, padding=1, mode="native")
+    got = q.apply(rv, x)          # same param tree consumed directly
+    want = ref.apply(rv, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_qconv_init_identical_to_nn_conv(rng):
+    x = jnp.zeros((1, 8, 8, 4))
+    a = nn.Conv(6, (3, 3), padding=1).init(jax.random.key(0), x)
+    b = QConv(6, (3, 3), padding=1).init(jax.random.key(0), x)
+    ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(ja) == len(jb)
+    for u, v in zip(ja, jb):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_int8_conv_accuracy(rng):
+    """Dynamic W8A8 on well-conditioned inputs: relative error ~1%."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 32, 32)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.01)
+    got = int8_conv(x, k, b, (1, 1), "SAME")
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                        dimension_numbers=dn) + b
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 0.03, err
+
+
+def test_int8_conv_zero_input_safe():
+    x = jnp.zeros((1, 4, 4, 8))
+    k = jnp.zeros((3, 3, 8, 8))
+    out = int8_conv(x, k, None, (1, 1), "SAME")
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_autoencoder_int8_same_params_and_close_output(rng):
+    """conv_mode='int8' consumes the native param tree unchanged and its
+    decode tracks the native output."""
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import (
+        AutoencoderKL)
+
+    kw = dict(in_channels=1, out_channels=1, block_out_channels=(16, 32),
+              layers_per_block=1, latent_channels=4, norm_num_groups=8)
+    native = AutoencoderKL(**kw)
+    quant = AutoencoderKL(conv_mode="int8", **kw)
+    x = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+    nv = native.init(jax.random.key(0), x)
+    qv = quant.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(nv)
+            == jax.tree_util.tree_structure(qv))
+
+    z = native.apply(nv, x, method=native.encode).mode()
+    dn = native.apply(nv, z, method=native.decode)
+    dq = quant.apply(nv, z, method=quant.decode)  # NATIVE params, int8 math
+    err = float(jnp.linalg.norm(dq - dn) / (jnp.linalg.norm(dn) + 1e-8))
+    assert err < 0.15, err

@@ -40,6 +40,8 @@ class AutoencoderKL(nn.Module):
     scaling_factor: float = 0.18215
     use_slicing: bool = False  # accepted for API parity; no-op on TPU
     fused_norm: bool = False   # Pallas fused GroupNorm+SiLU (same params)
+    conv_mode: str = "native"  # "int8" = quantized serving (ops/quant.py);
+    # identical param tree, so fp32-trained checkpoints serve quantized as-is
 
     def setup(self):
         self.encoder = Encoder(
@@ -47,13 +49,13 @@ class AutoencoderKL(nn.Module):
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups, double_z=True,
-            fused_norm=self.fused_norm)
+            fused_norm=self.fused_norm, conv_mode=self.conv_mode)
         self.decoder = Decoder(
             out_channels=self.out_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups,
-            fused_norm=self.fused_norm)
+            fused_norm=self.fused_norm, conv_mode=self.conv_mode)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1))
 

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.quant import QConv
+
 
 class GroupNormSiLU(nn.Module):
     """GroupNorm followed by SiLU; optionally the fused Pallas kernel.
@@ -59,6 +61,7 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-6
     output_scale_factor: float = 1.0
     fused_norm: bool = False
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -66,12 +69,15 @@ class ResnetBlock2D(nn.Module):
         out_ch = self.out_channels or in_ch
         h = GroupNormSiLU(min(self.groups, in_ch), self.eps,
                           fused=self.fused_norm, name="norm1")(x)
-        h = nn.Conv(out_ch, (3, 3), padding=1, name="conv1")(h)
+        h = QConv(out_ch, (3, 3), padding=1, mode=self.conv_mode,
+                  name="conv1")(h)
         h = GroupNormSiLU(min(self.groups, out_ch), self.eps,
                           fused=self.fused_norm, name="norm2")(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, name="conv2")(h)
+        h = QConv(out_ch, (3, 3), padding=1, mode=self.conv_mode,
+                  name="conv2")(h)
         if in_ch != out_ch:
-            x = nn.Conv(out_ch, (1, 1), name="conv_shortcut")(x)
+            x = QConv(out_ch, (1, 1), mode=self.conv_mode,
+                      name="conv_shortcut")(x)
         return (x + h) / self.output_scale_factor
 
 
@@ -79,18 +85,21 @@ class Downsample2D(nn.Module):
     """Stride-2 3x3 conv with the VAE's asymmetric (0, 1) edge padding."""
 
     out_channels: Optional[int] = None
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.out_channels or x.shape[-1]
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(out_ch, (3, 3), strides=2, padding="VALID", name="conv")(x)
+        return QConv(out_ch, (3, 3), strides=2, padding="VALID",
+                     mode=self.conv_mode, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
     """2x nearest-neighbor upsample + 3x3 conv."""
 
     out_channels: Optional[int] = None
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +110,8 @@ class Upsample2D(nn.Module):
         # broadcast instead of a gather
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
                              ).reshape(b, 2 * h, 2 * w, c)
-        return nn.Conv(out_ch, (3, 3), padding=1, name="conv")(x)
+        return QConv(out_ch, (3, 3), padding=1, mode=self.conv_mode,
+                     name="conv")(x)
 
 
 class Downsample4x(nn.Module):
@@ -109,11 +119,12 @@ class Downsample4x(nn.Module):
     custom_akl.py:170-206 Downsample4x2D (torch keys down1.conv/down2.conv)."""
 
     out_channels: Optional[int] = None
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Downsample2D(self.out_channels, name="down1")(x)
-        return Downsample2D(self.out_channels, name="down2")(x)
+        x = Downsample2D(self.out_channels, self.conv_mode, name="down1")(x)
+        return Downsample2D(self.out_channels, self.conv_mode, name="down2")(x)
 
 
 class Upsample4x(nn.Module):
@@ -121,11 +132,12 @@ class Upsample4x(nn.Module):
     custom_akl.py:131-168 Upsample4x2D (torch keys up1.conv/up2.conv)."""
 
     out_channels: Optional[int] = None
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Upsample2D(self.out_channels, name="up1")(x)
-        return Upsample2D(self.out_channels, name="up2")(x)
+        x = Upsample2D(self.out_channels, self.conv_mode, name="up1")(x)
+        return Upsample2D(self.out_channels, self.conv_mode, name="up2")(x)
 
 
 class AttentionBlock(nn.Module):
@@ -208,18 +220,22 @@ class DownEncoderBlock2D(nn.Module):
     add_downsample: bool = True
     fused_norm: bool = False
     scale: int = 2  # 2 -> Downsample2D, 4 -> Downsample4x (custom_akl.py:713-733)
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, self.resnet_groups,
                               self.resnet_eps, fused_norm=self.fused_norm,
+                              conv_mode=self.conv_mode,
                               name=f"resnets_{i}")(x)
         if self.add_downsample:
             if self.scale == 4:
-                x = Downsample4x(self.out_channels, name="downsamplers_0")(x)
+                x = Downsample4x(self.out_channels, self.conv_mode,
+                                 name="downsamplers_0")(x)
             else:
-                x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
+                x = Downsample2D(self.out_channels, self.conv_mode,
+                                 name="downsamplers_0")(x)
         return x
 
 
@@ -231,18 +247,22 @@ class UpDecoderBlock2D(nn.Module):
     add_upsample: bool = True
     fused_norm: bool = False
     scale: int = 2  # 2 -> Upsample2D, 4 -> Upsample4x (custom_akl.py:783-791)
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, self.resnet_groups,
                               self.resnet_eps, fused_norm=self.fused_norm,
+                              conv_mode=self.conv_mode,
                               name=f"resnets_{i}")(x)
         if self.add_upsample:
             if self.scale == 4:
-                x = Upsample4x(self.out_channels, name="upsamplers_0")(x)
+                x = Upsample4x(self.out_channels, self.conv_mode,
+                               name="upsamplers_0")(x)
             else:
-                x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
+                x = Upsample2D(self.out_channels, self.conv_mode,
+                               name="upsamplers_0")(x)
         return x
 
 
@@ -253,13 +273,15 @@ class UNetMidBlock2D(nn.Module):
     output_scale_factor: float = 1.0
     num_layers: int = 1
     fused_norm: bool = False
+    conv_mode: str = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
         x = ResnetBlock2D(ch, self.resnet_groups, self.resnet_eps,
                           self.output_scale_factor,
-                          fused_norm=self.fused_norm, name="resnets_0")(x)
+                          fused_norm=self.fused_norm,
+                          conv_mode=self.conv_mode, name="resnets_0")(x)
         for i in range(self.num_layers):
             x = AttentionBlock(self.attn_num_head_channels, self.resnet_groups,
                                rescale_output_factor=self.output_scale_factor,
@@ -267,5 +289,6 @@ class UNetMidBlock2D(nn.Module):
             x = ResnetBlock2D(ch, self.resnet_groups, self.resnet_eps,
                               self.output_scale_factor,
                               fused_norm=self.fused_norm,
+                              conv_mode=self.conv_mode,
                               name=f"resnets_{i + 1}")(x)
         return x

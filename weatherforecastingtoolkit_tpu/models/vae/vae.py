@@ -12,6 +12,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.quant import QConv
 from .blocks import (DownEncoderBlock2D, GroupNormSiLU, UNetMidBlock2D,
                      UpDecoderBlock2D)
 
@@ -27,11 +28,12 @@ class Encoder(nn.Module):
     double_z: bool = True
     fused_norm: bool = False
     scales: Optional[Sequence[int]] = None  # per-block downsample factor
+    conv_mode: str = "native"  # "int8" = quantized serving (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
-                    name="conv_in")(x)
+        x = QConv(self.block_out_channels[0], (3, 3), padding=1,
+                  mode=self.conv_mode, name="conv_in")(x)
         n = len(self.block_out_channels)
         scales = self.scales or (2,) * n
         for i, ch in enumerate(self.block_out_channels):
@@ -40,13 +42,16 @@ class Encoder(nn.Module):
                 resnet_groups=self.norm_num_groups,
                 add_downsample=(i != n - 1), fused_norm=self.fused_norm,
                 scale=scales[i] if i < len(scales) else 2,
+                conv_mode=self.conv_mode,
                 name=f"down_blocks_{i}")(x)
         x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
-                           fused_norm=self.fused_norm, name="mid_block")(x)
+                           fused_norm=self.fused_norm,
+                           conv_mode=self.conv_mode, name="mid_block")(x)
         x = GroupNormSiLU(self.norm_num_groups, 1e-6, fused=self.fused_norm,
                           name="conv_norm_out")(x)
         out_ch = 2 * self.out_channels if self.double_z else self.out_channels
-        return nn.Conv(out_ch, (3, 3), padding=1, name="conv_out")(x)
+        return QConv(out_ch, (3, 3), padding=1, mode=self.conv_mode,
+                     name="conv_out")(x)
 
 
 class Decoder(nn.Module):
@@ -59,13 +64,16 @@ class Decoder(nn.Module):
     norm_num_groups: int = 32
     fused_norm: bool = False
     scales: Optional[Sequence[int]] = None  # per-block upsample factor
+    conv_mode: str = "native"  # "int8" = quantized serving (ops/quant.py)
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         rev: Tuple[int, ...] = tuple(reversed(self.block_out_channels))
-        x = nn.Conv(rev[0], (3, 3), padding=1, name="conv_in")(z)
+        x = QConv(rev[0], (3, 3), padding=1, mode=self.conv_mode,
+                  name="conv_in")(z)
         x = UNetMidBlock2D(resnet_groups=self.norm_num_groups,
-                           fused_norm=self.fused_norm, name="mid_block")(x)
+                           fused_norm=self.fused_norm,
+                           conv_mode=self.conv_mode, name="mid_block")(x)
         n = len(rev)
         scales = self.scales or (2,) * n
         for i, ch in enumerate(rev):
@@ -74,7 +82,9 @@ class Decoder(nn.Module):
                 resnet_groups=self.norm_num_groups,
                 add_upsample=(i != n - 1), fused_norm=self.fused_norm,
                 scale=scales[i] if i < len(scales) else 2,
+                conv_mode=self.conv_mode,
                 name=f"up_blocks_{i}")(x)
         x = GroupNormSiLU(self.norm_num_groups, 1e-6, fused=self.fused_norm,
                           name="conv_norm_out")(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out")(x)
+        return QConv(self.out_channels, (3, 3), padding=1,
+                     mode=self.conv_mode, name="conv_out")(x)
