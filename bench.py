@@ -107,7 +107,10 @@ def _time_pipeline(pipeline, fc_vars, frames, n_rep=10):
     for _ in range(n_rep):
         t0 = _t.time()
         out = pipeline(fc_vars, frames)
-        out.block_until_ready()
+        # host read-back of one output element: the only reliable sync on
+        # the axon backend (block_until_ready can return once the remote
+        # execution is scheduled, not finished)
+        np.asarray(out[(0,) * out.ndim])
         times.append(_t.time() - t0)
     return float(np.median(times)), compile_s, out
 
@@ -209,45 +212,63 @@ def bench_train():
     B, T = 4, 4  # 16 frames of 128^2 per optimizer step
     model = PosAwareAE(latent_dim=2048)
     disc = NLayerDiscriminator(input_nc=1, ndf=64, n_layers=3)
-    disc_tx = optax.adam(4.5e-5, b1=0.5, b2=0.9)
-    task = make_vae_gan_task(
-        name="bench_gan",
-        generator_apply=lambda p, f, r: (model.apply(p, f)[0], None),
-        gen_init=lambda r: model.init(r, jnp.zeros((1, 1, HW, HW))),
-        disc_apply=lambda p, f: disc.apply(p, f),
-        disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, HW, HW))),
-        disc_tx=disc_tx, last_layer_path=("params", "dec_out", "kernel"),
-        disc_weight=0.5, disc_start=0)
+
+    def build_task(mixed):
+        return make_vae_gan_task(
+            name="bench_gan",
+            generator_apply=lambda p, f, r: (model.apply(p, f)[0], None),
+            gen_init=lambda r: model.init(r, jnp.zeros((1, 1, HW, HW))),
+            disc_apply=lambda p, f: disc.apply(p, f),
+            disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, HW, HW))),
+            disc_tx=optax.adam(4.5e-5, b1=0.5, b2=0.9),
+            last_layer_path=("params", "dec_out", "kernel"),
+            disc_weight=0.5, disc_start=0, mixed_precision=mixed)
 
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     rng = jax.random.key(0)
-    params = task.init_params(rng)
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params), rng=rng,
-                       extra=task.init_extra(rng, params))
-    n_params = sum(int(np.prod(p.shape))
-                   for p in jax.tree_util.tree_leaves(params))
-    log(f"train bench: PosAwareAE {n_params/1e6:.1f}M params + PatchGAN, "
-        f"batch {B}x{T} frames of {HW}^2")
-
-    step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
     batch = {"vil": jax.device_put(
         np.random.default_rng(0).random((B, T, 1, HW, HW), np.float32))}
-    t0 = time.time()
-    state, aux = step(state, batch)
-    jax.block_until_ready(state.params)
-    log(f"train step compiled in {time.time()-t0:.1f}s")
-    times = []
-    for _ in range(10):
+
+    def measure(mixed):
+        task = build_task(mixed)
+        params = task.init_params(rng)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params), rng=rng,
+                           extra=task.init_extra(rng, params))
+        if not mixed:
+            n_params = sum(int(np.prod(p.shape))
+                           for p in jax.tree_util.tree_leaves(params))
+            log(f"train bench: PosAwareAE {n_params/1e6:.1f}M params + "
+                f"PatchGAN, batch {B}x{T} frames of {HW}^2")
+        step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
         t0 = time.time()
         state, aux = step(state, batch)
         jax.block_until_ready(state.params)
-        times.append(time.time() - t0)
-    t_step = float(np.median(times))
-    sps = 1.0 / t_step
-    log(f"train: {t_step*1000:.1f} ms/step -> {sps:.2f} steps/s "
-        f"({sps * B * T:.1f} frames/s), loss {float(aux['loss']):.4f}")
-    return sps
+        log(f"train step ({'bf16' if mixed else 'fp32'}) compiled in "
+            f"{time.time()-t0:.1f}s")
+        times = []
+        for _ in range(10):
+            t0 = time.time()
+            state, aux = step(state, batch)
+            # host read-back of a step-dependent scalar: the only reliable
+            # sync on the axon backend (block_until_ready can return once
+            # the remote execution is scheduled, not finished)
+            float(aux["loss"])
+            times.append(time.time() - t0)
+        t_step = float(np.median(times))
+        sps = 1.0 / t_step
+        log(f"train {'bf16' if mixed else 'fp32'}: {t_step*1000:.1f} ms/step "
+            f"-> {sps:.2f} steps/s ({sps * B * T:.1f} frames/s), "
+            f"loss {float(aux['loss']):.4f}")
+        return sps
+
+    sps32 = measure(False)
+    try:
+        sps16 = measure(True)  # bf16 mixed precision (ops/amp.py)
+    except Exception as e:  # noqa: BLE001
+        log(f"mixed-precision train bench failed: {type(e).__name__}: {e}")
+        sps16 = None
+    return sps32, sps16
 
 
 def bench_torch_reference():
@@ -350,10 +371,12 @@ def get_baseline_fps():
 def main():
     fps, mfu, bwu, extra = bench_jax()
     try:
-        train_sps = bench_train()
+        train_sps, train_sps_bf16 = bench_train()
     except Exception as e:  # noqa: BLE001 — keep the headline JSON line alive
         log(f"train bench failed: {type(e).__name__}: {e}")
-        train_sps = None
+        train_sps, train_sps_bf16 = None, None
+    if train_sps_bf16 is not None:
+        extra["gan_train_bf16_steps_per_sec"] = round(train_sps_bf16, 2)
     baseline = get_baseline_fps()
     out = {
         "metric": "sevirlr_12step_rollout_frames_per_sec",

@@ -90,7 +90,8 @@ def build_task(cfg, dm):
         disc_weight=cfg.lpips.disc_weight,
         disc_factor=cfg.lpips.get("disc_factor", 1.0),
         disc_start=int(cfg.lpips.disc_start),
-        disc_loss=cfg.lpips.get("disc_loss", "hinge"))
+        disc_loss=cfg.lpips.get("disc_loss", "hinge"),
+        mixed_precision=cfg.trainer.get("mixed_precision", False))
 
 
 if __name__ == "__main__":

@@ -19,8 +19,9 @@ from weatherforecastingtoolkit_tpu.training.tasks import reconstruction_task  # 
 def build_task(cfg, dm):
     kwargs = {k: v for k, v in cfg.model.items() if k != "name"}
     model = build_model(cfg.model.name, **kwargs)
-    return reconstruction_task(model, loss=cfg.get("loss", "l1"),
-                               name=cfg.experiment_name)
+    return reconstruction_task(
+        model, loss=cfg.get("loss", "l1"), name=cfg.experiment_name,
+        mixed_precision=cfg.trainer.get("mixed_precision", False))
 
 
 if __name__ == "__main__":

@@ -93,13 +93,31 @@ def make_vae_gan_task(
     disc_start: int = 0,
     disc_loss: str = "hinge",
     key: str = "vil",
+    mixed_precision: bool = False,
 ) -> Task:
-    """Build a Task whose custom_train_step runs the full VAE-GAN update."""
+    """Build a Task whose custom_train_step runs the full VAE-GAN update.
+
+    mixed_precision=True runs generator and discriminator networks in bf16
+    against fp32 master params (ops/amp.py); the NLL/KL/adaptive-weight math
+    stays fp32."""
     d_loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
     use_kl = kl_weight is not None
 
+    from ..ops.amp import cast_floats
     from .tasks import dequantize
     px_map = pixel_loss_map(pixel_loss)
+
+    if mixed_precision:
+        _gen_apply, _disc_apply = generator_apply, disc_apply
+
+        def generator_apply(p, f, rng):  # noqa: F811 — bf16-compute wrapper
+            recon, kl = _gen_apply(cast_floats(p), cast_floats(f), rng)
+            return recon.astype(jnp.float32), (
+                kl.astype(jnp.float32) if kl is not None else None)
+
+        def disc_apply(p, f):  # noqa: F811
+            return _disc_apply(cast_floats(p), cast_floats(f)
+                               ).astype(jnp.float32)
 
     def _frames(x):
         b, t = x.shape[:2]

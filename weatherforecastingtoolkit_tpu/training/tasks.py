@@ -55,8 +55,12 @@ def dequantize(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def reconstruction_task(model, key: str = "vil", loss: str = "l1",
-                        name: str = "recon") -> Task:
-    """Frame autoencoder objective. Batch: {key: (B, T, C, H, W)}."""
+                        name: str = "recon",
+                        mixed_precision: bool = False) -> Task:
+    """Frame autoencoder objective. Batch: {key: (B, T, C, H, W)}.
+
+    mixed_precision=True runs the network forward/backward in bf16 against
+    fp32 master params (ops/amp.py); the loss reduction stays fp32."""
     loss_fn_px = pixel_loss(loss)
 
     def init_params(rng):
@@ -67,8 +71,14 @@ def reconstruction_task(model, key: str = "vil", loss: str = "l1",
         x = dequantize(batch[key])
         b, t = x.shape[:2]
         frames = _frames(x)
-        recon, z = model.apply(params, frames, deterministic=False,
-                               rngs={"dropout": rng})
+        if mixed_precision:
+            from ..ops.amp import cast_floats
+            recon, z = model.apply(cast_floats(params), cast_floats(frames),
+                                   deterministic=False, rngs={"dropout": rng})
+            recon, z = recon.astype(jnp.float32), z.astype(jnp.float32)
+        else:
+            recon, z = model.apply(params, frames, deterministic=False,
+                                   rngs={"dropout": rng})
         loss_val = loss_fn_px(recon, frames)
         return loss_val, {"latent_norm": jnp.mean(jnp.abs(z))}
 
