@@ -166,3 +166,21 @@ def test_latent_convae_gan_variant(tmp_path):
     assert result.returncode == 0, (
         f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
     assert "done" in result.stdout.splitlines()[-1]
+
+
+def test_experiment_mixed_precision(tmp_path):
+    """trainer.mixed_precision=true: the GAN experiment trains end-to-end
+    with bf16 network compute against fp32 masters (ops/amp.py)."""
+    script = os.path.join(REPO, "experiments", "ae_gan", "train.py")
+    overrides = COMMON + SPECIFIC["ae_gan"] + [
+        "trainer.mixed_precision=true",
+        f"experiment_path={tmp_path}/ae_gan_amp"]
+    env = dict(os.environ)
+    env["WX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run([sys.executable, script, *overrides],
+                            capture_output=True, text=True, timeout=900,
+                            env=env, cwd=REPO)
+    assert result.returncode == 0, (
+        f"STDOUT:\n{result.stdout[-3000:]}\nSTDERR:\n{result.stderr[-3000:]}")
+    assert "done" in result.stdout.splitlines()[-1]

@@ -301,3 +301,29 @@ def test_dp_serving_matches_single_device(rng):
     served = serve(frames)
     assert served.shape == single.shape
     np.testing.assert_allclose(served, single, atol=1e-6)
+
+
+def test_export_pipeline_roundtrip(tmp_path, rng):
+    """jax.export artifact: serialize the rollout, load it back WITHOUT the
+    model code path, serve any batch size via the symbolic batch dim."""
+    from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
+    from weatherforecastingtoolkit_tpu.models.rollout import make_forecast_pipeline
+    from weatherforecastingtoolkit_tpu.parallel.serving import (export_pipeline,
+                                                                load_pipeline)
+
+    t_in, t_out, hw = 5, 3, 8
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    fv = fc.init(jax.random.key(0), jnp.zeros((1, t_in, hw * hw)))
+    pipe = make_forecast_pipeline(
+        encode_apply=lambda f: f.reshape(f.shape[0], -1),
+        decode_apply=lambda z: z.reshape(z.shape[0], 1, hw, hw),
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out)
+    path = str(tmp_path / "rollout.stablehlo")
+    frames = jnp.asarray(rng.random((4, t_in, 1, hw, hw)).astype(np.float32))
+    export_pipeline(pipe, fv, frames, path)
+    call = load_pipeline(path)
+    np.testing.assert_allclose(np.asarray(call(fv, frames)),
+                               np.asarray(jax.jit(pipe)(fv, frames)), atol=1e-6)
+    other = jnp.asarray(rng.random((7, t_in, 1, hw, hw)).astype(np.float32))
+    assert call(fv, other).shape == (7, t_out, 1, hw, hw)

@@ -56,3 +56,43 @@ def make_dp_serving_fn(pipeline: Callable, mesh: Mesh,
         return np.asarray(out)[:b]
 
     return serve
+
+
+def export_pipeline(pipeline, params, example_frames, path: str,
+                    batch_symbolic: bool = True) -> None:
+    """Serialize the jitted pipeline to a StableHLO artifact (jax.export).
+
+    The artifact contains compiler IR + the calling convention — it can be
+    loaded (`load_pipeline`) and served WITHOUT the Python model code, which
+    is the deployment story the reference lacks entirely (its serving is
+    "import the training repo and call torch modules").
+
+    batch_symbolic=True exports with a symbolic batch dimension so one
+    artifact serves any batch size.
+    """
+    from jax import export as jexport
+
+    fn = jax.jit(pipeline)
+    if batch_symbolic:
+        scope = jexport.SymbolicScope()
+        b = jexport.symbolic_shape("b", scope=scope)[0]
+        frames_spec = jax.ShapeDtypeStruct((b,) + example_frames.shape[1:],
+                                           example_frames.dtype)
+    else:
+        frames_spec = jax.ShapeDtypeStruct(example_frames.shape,
+                                           example_frames.dtype)
+    params_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        params)
+    exported = jexport.export(fn)(params_spec, frames_spec)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_pipeline(path: str) -> Callable:
+    """Load a `export_pipeline` artifact; returns call(params, frames)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
