@@ -148,11 +148,17 @@ def run_earthformer(args):
         frames_in, frames_gt = x[:, :t_in], x[:, t_in:t_in + t_out]
 
         def loss_fn(p):
+            from weatherforecastingtoolkit_tpu.ops.ssim import ssim as _dssim
             pred = model.apply(p, frames_in)
             mse = jnp.mean((pred - frames_gt) ** 2)
+            # differentiable SSIM term: the one headline metric MSE alone
+            # loses to persistence on (structural similarity rewards keeping
+            # texture that MSE prefers to blur away)
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+            s = _dssim(flat(pred), flat(frames_gt))
             prior = advection_diffusion_prior(
                 pred, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.05))
-            return mse + 1e-3 * prior
+            return mse + 0.02 * (1.0 - s) + 1e-3 * prior
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt = tx.update(grads, opt, params)
         return (optax.apply_updates(params, upd), opt), loss
