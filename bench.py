@@ -102,6 +102,7 @@ def _time_pipeline(pipeline, fc_vars, frames, n_rep=10):
     t0 = _t.time()
     out = pipeline(fc_vars, frames)
     out.block_until_ready()
+    np.asarray(out[(0,) * out.ndim])  # readback: real sync (see loop below)
     compile_s = _t.time() - t0
     times = []
     for _ in range(n_rep):
@@ -165,10 +166,15 @@ def bench_jax():
     log(f"bf16: compile {c16:.1f}s, median {t16*1000:.1f} ms -> {fps16:.1f} frames/s")
 
     log("compiling int8 rollout pipeline (W8A8 convs on the MXU) ...")
-    pipe8, fc8 = build_jax_pipeline("bfloat16", conv_mode="int8")
-    t8, c8, out8 = _time_pipeline(pipe8, fc8, frames)
-    fps8 = BATCH * T_OUT / t8
-    log(f"int8: compile {c8:.1f}s, median {t8*1000:.1f} ms -> {fps8:.1f} frames/s")
+    try:
+        pipe8, fc8 = build_jax_pipeline("bfloat16", conv_mode="int8")
+        t8, c8, out8 = _time_pipeline(pipe8, fc8, frames)
+        fps8 = BATCH * T_OUT / t8
+        log(f"int8: compile {c8:.1f}s, median {t8*1000:.1f} ms "
+            f"-> {fps8:.1f} frames/s")
+    except Exception as e:  # noqa: BLE001 — experimental path must not kill
+        log(f"int8 pipeline unavailable ({type(e).__name__}: {e}); skipping")
+        pipe8 = fps8 = out8 = t8 = None
 
     # quality gates: every reduced-precision path must track fp32 closely to
     # be headline-eligible; the fastest gated path wins
@@ -178,11 +184,14 @@ def bench_jax():
     def gate(out):
         return float(_ssim(a, np.asarray(out).reshape(-1, 1, HW, HW)))
 
-    s16, s8 = gate(out16), gate(out8)
-    log(f"SSIM vs fp32: bf16 {s16:.5f}, int8 {s8:.5f}")
+    s16 = gate(out16)
+    s8 = gate(out8) if out8 is not None else None
+    log(f"SSIM vs fp32: bf16 {s16:.5f}, int8 "
+        f"{'n/a' if s8 is None else format(s8, '.5f')}")
     candidates = [("fp32", fps32, pipe32, fc32, t32, 1.0),
-                  ("bf16", fps16, pipe16, fc16, t16, s16),
-                  ("int8", fps8, pipe8, fc8, t8, s8)]
+                  ("bf16", fps16, pipe16, fc16, t16, s16)]
+    if s8 is not None:
+        candidates.append(("int8", fps8, pipe8, fc8, t8, s8))
     eligible = [cnd for cnd in candidates if cnd[5] > 0.995]
     name, fps, pipe, fcv, t_step, _ = max(eligible, key=lambda cnd: cnd[1])
     log(f"headline: {name} (quality-gated)")
@@ -192,9 +201,10 @@ def bench_jax():
     if mfu is not None:
         log(f"rollout: {flops/1e9:.1f} GFLOP, {nbytes/1e9:.2f} GB accessed "
             f"-> MFU {mfu*100:.1f}%, HBM-BW {bwu*100:.1f}% of peak")
-    return fps, mfu, bwu, {"int8_frames_per_sec": round(fps8, 2),
-                           "int8_ssim_vs_fp32": round(s8, 5),
-                           "bf16_ssim_vs_fp32": round(s16, 5)}
+    return fps, mfu, bwu, {
+        "int8_frames_per_sec": round(fps8, 2) if fps8 is not None else None,
+        "int8_ssim_vs_fp32": round(s8, 5) if s8 is not None else None,
+        "bf16_ssim_vs_fp32": round(s16, 5)}
 
 
 def bench_train():

@@ -114,6 +114,14 @@ def main(exp_file: str, build_task: Callable,
                                            cfg.trainer.total_train_steps)
 
         task = build_task(cfg, dm)
+        if cfg.trainer.get("mixed_precision", False) and \
+                task.custom_train_step is None:
+            # generic bf16-compute wrapper for plain-loss tasks; GAN-style
+            # tasks (custom_train_step) handle the flag inside their builder
+            # (make_vae_gan_task(mixed_precision=...)). Double-wrapping a
+            # task that already casts internally is a harmless no-op.
+            from weatherforecastingtoolkit_tpu.ops.amp import mixed_loss
+            task.loss_fn = mixed_loss(task.loss_fn)
         trainer = Trainer(cfg, task, resume=resume)
         # pre-fit LR range test (reference pipeline/helpers.py:34-61 saves
         # lr_range_test.png; here it sweeps the task's own loss/optimizer)

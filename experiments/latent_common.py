@@ -59,12 +59,28 @@ def build_frozen_vae(cfg):
     latent_hw = hw // (2 ** n_down)
     latent_shape = (model.latent_channels, latent_hw, latent_hw)
 
-    def encode_apply(frames, rng):
-        posterior = model.apply(variables, frames, method=model.encode)
-        return posterior.sample(rng)
+    # trainer.mixed_precision: the frozen encoder is the latent experiments'
+    # dominant compute — run it bf16 (latents come back fp32 for the
+    # forecaster loss); decode stays fp32 (metric-grade eval path)
+    if cfg.get("trainer", {}).get("mixed_precision", False):
+        from weatherforecastingtoolkit_tpu.ops.amp import cast_floats
+        enc_vars = cast_floats(variables)
 
-    def encode_mode(frames):
-        return model.apply(variables, frames, method=model.encode).mode()
+        def encode_apply(frames, rng):
+            posterior = model.apply(enc_vars, cast_floats(frames),
+                                    method=model.encode)
+            return posterior.sample(rng).astype(jnp.float32)
+
+        def encode_mode(frames):
+            return model.apply(enc_vars, cast_floats(frames),
+                               method=model.encode).mode().astype(jnp.float32)
+    else:
+        def encode_apply(frames, rng):
+            posterior = model.apply(variables, frames, method=model.encode)
+            return posterior.sample(rng)
+
+        def encode_mode(frames):
+            return model.apply(variables, frames, method=model.encode).mode()
 
     def decode_apply(latents):
         return model.apply(variables, latents, method=model.decode)

@@ -139,6 +139,10 @@ class Earthformer(nn.Module):
         if self.residual_out:
             # persistence-anchored deltas (zero-init head => the model starts
             # EXACTLY at the persistence baseline and learns corrections) —
-            # the same anchoring trick the Path-B latents use (rollout.py:76)
-            return jnp.clip(frames[:, -1:] + y, 0.0, 1.0)
+            # the same anchoring trick the Path-B latents use (rollout.py:76).
+            # sigmoid_head keeps its meaning: True clamps to the VIL range
+            # (clip, since the anchor is already in [0,1]); False returns the
+            # raw anchored output for unbounded-loss training.
+            out = frames[:, -1:] + y
+            return jnp.clip(out, 0.0, 1.0) if self.sigmoid_head else out
         return nn.sigmoid(y) if self.sigmoid_head else y

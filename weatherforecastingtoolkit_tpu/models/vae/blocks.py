@@ -90,8 +90,9 @@ class Downsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.out_channels or x.shape[-1]
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return QConv(out_ch, (3, 3), strides=2, padding="VALID",
+        # the reference's (0, 1) edge pad, expressed as conv padding so XLA
+        # never materializes a padded copy of the full-res tensor
+        return QConv(out_ch, (3, 3), strides=2, padding=((0, 1), (0, 1)),
                      mode=self.conv_mode, name="conv")(x)
 
 

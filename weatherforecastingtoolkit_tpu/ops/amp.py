@@ -20,10 +20,13 @@ import jax.numpy as jnp
 
 
 def cast_floats(tree, dtype=jnp.bfloat16):
-    """Cast every fp32 array leaf to `dtype`; everything else unchanged."""
+    """Cast every fp32 array leaf to `dtype`; everything else unchanged.
+
+    Matches on dtype, not array class, so host numpy leaves (orbax restores,
+    un-prefetched batches) are cast too — not just jax Arrays/tracers."""
     def _cast(a):
-        if isinstance(a, jnp.ndarray) and a.dtype == jnp.float32:
-            return a.astype(dtype)
+        if getattr(a, "dtype", None) == jnp.float32:
+            return jnp.asarray(a, dtype)
         return a
     return jax.tree_util.tree_map(_cast, tree)
 
@@ -31,7 +34,22 @@ def cast_floats(tree, dtype=jnp.bfloat16):
 def to_f32(tree):
     """Cast floating leaves back to fp32 (loss math / metric precision)."""
     def _cast(a):
-        if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.floating):
-            return a.astype(jnp.float32)
+        dt = getattr(a, "dtype", None)
+        if dt is not None and jnp.issubdtype(dt, jnp.floating):
+            return jnp.asarray(a, jnp.float32)
         return a
     return jax.tree_util.tree_map(_cast, tree)
+
+
+def mixed_loss(loss_fn):
+    """Wrap a Task loss_fn(params, batch, rng, step) for bf16 compute.
+
+    Generic recipe for custom experiment losses: params and batch are cast
+    to bf16 (fp32 masters stay outside), the loss/aux come back fp32. The
+    loss REDUCTION itself runs in the dtype the wrapped fn produces — tasks
+    wanting fp32 reductions over bf16 activations should cast explicitly
+    (see reconstruction_task / make_vae_gan_task for that finer pattern)."""
+    def wrapped(params, batch, rng, step):
+        loss, aux = loss_fn(cast_floats(params), cast_floats(batch), rng, step)
+        return jnp.asarray(loss, jnp.float32), to_f32(aux)
+    return wrapped
