@@ -13,6 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from experiments.common import main  # noqa: E402
@@ -33,7 +34,10 @@ def build_task(cfg, dm):
 
     def init_params(rng):
         h, w = cfg.model.input_shape
-        return model.init(rng, jnp.zeros((1, t_in, cfg.model.img_channels, h, w)))
+        # jit the init: eager dispatch of the spectral ops (rfft2 path) hits
+        # UNIMPLEMENTED on the axon TPU backend; compiled XLA supports them
+        return jax.jit(model.init)(
+            rng, jnp.zeros((1, t_in, cfg.model.img_channels, h, w)))
 
     def loss_fn(params, batch, rng, step):
         frames_in, frames_gt = split(batch)

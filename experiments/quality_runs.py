@@ -170,6 +170,59 @@ def run_earthformer(args):
     return report("earthformer", predict, eval_batches, t_in, t_out)
 
 
+def run_alphapre(args):
+    from weatherforecastingtoolkit_tpu.models.alphapre import AlphaPre
+
+    t_in, t_out = args.t_in, args.t_out
+    dm, eval_batches = make_data(args.events, args.img_size, t_in, t_out,
+                                 args.batch)
+    model = AlphaPre(pre_seq_length=t_in, aft_seq_length=t_out,
+                     input_shape=(args.img_size, args.img_size), input_dim=1,
+                     hidden_dim=32, n_layers=2, spec_num=10,
+                     aweight_stop_steps=args.steps)
+    # jit the init: eager (per-primitive) dispatch of the spectral ops hits
+    # an UNIMPLEMENTED on the axon TPU backend; compiled XLA supports them
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, t_in, 1, args.img_size, args.img_size)))
+    n_par = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(params))
+    print(f"[alphapre] {n_par/1e6:.2f}M params")
+    warm = max(1, args.steps // 10)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(
+        optax.warmup_cosine_decay_schedule(1e-5, 5e-4, warm,
+                                           args.steps + warm + 1, 1e-6),
+        weight_decay=0.01))
+
+    @jax.jit
+    def step_fn(state, batch):
+        params, opt, step = state
+        x = batch["vil"]
+        frames_in, frames_gt = x[:, :t_in], x[:, t_in:t_in + t_out]
+
+        def loss_fn(p):
+            from weatherforecastingtoolkit_tpu.ops.ssim import ssim as _dssim
+            pred, loss = model.apply(p, frames_in, frames_gt,
+                                     compute_loss=True, step=step,
+                                     method=model.predict)
+            # + the same differentiable-SSIM term as the earthformer run:
+            # the 4-term spectral loss alone blurs (loses SSIM only)
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+            s = _dssim(flat(pred), flat(frames_gt))
+            return loss["total_loss"] + 0.02 * (1.0 - s)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, upd), opt, step + 1), loss
+
+    state = train_steps("alphapre", step_fn,
+                        (params, tx.init(params), jnp.zeros(())),
+                        loop(dm.train_loader()), args.steps)
+    params = state[0]
+    predict = jax.jit(
+        lambda fi: model.apply(params, fi, method=model.predict)[0])
+    return report("alphapre", predict, eval_batches, t_in, t_out)
+
+
 def run_token_vit(args):
     from weatherforecastingtoolkit_tpu.models.token_forecaster import (
         TokenSequenceForecaster)
@@ -280,7 +333,7 @@ def run_token_vit(args):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="all",
-                   choices=["all", "earthformer", "token_vit"])
+                   choices=["all", "earthformer", "token_vit", "alphapre"])
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--steps-ae", type=int, default=4000,
                    help="token_vit stage-1 ViT AE steps")
@@ -296,6 +349,8 @@ def main(argv=None):
         wins["earthformer"] = run_earthformer(args)
     if args.model in ("all", "token_vit"):
         wins["token_vit"] = run_token_vit(args)
+    if args.model in ("all", "alphapre"):
+        wins["alphapre"] = run_alphapre(args)
     print(f"\nsummary: {wins}")
     return wins
 
