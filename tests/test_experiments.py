@@ -168,13 +168,16 @@ def test_latent_convae_gan_variant(tmp_path):
     assert "done" in result.stdout.splitlines()[-1]
 
 
-def test_experiment_mixed_precision(tmp_path):
-    """trainer.mixed_precision=true: the GAN experiment trains end-to-end
-    with bf16 network compute against fp32 masters (ops/amp.py)."""
-    script = os.path.join(REPO, "experiments", "ae_gan", "train.py")
-    overrides = COMMON + SPECIFIC["ae_gan"] + [
+@pytest.mark.parametrize("exp", ["ae_gan", "latent_dlinear"])
+def test_experiment_mixed_precision(exp, tmp_path):
+    """trainer.mixed_precision=true end-to-end: ae_gan exercises the GAN
+    task's internal bf16 handling; latent_dlinear exercises the generic
+    amp.mixed_loss wrapper in experiments/common.py AND the bf16 frozen
+    encoder in latent_common.build_frozen_vae."""
+    script = os.path.join(REPO, "experiments", exp, "train.py")
+    overrides = COMMON + SPECIFIC[exp] + [
         "trainer.mixed_precision=true",
-        f"experiment_path={tmp_path}/ae_gan_amp"]
+        f"experiment_path={tmp_path}/{exp}_amp"]
     env = dict(os.environ)
     env["WX_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
