@@ -22,7 +22,7 @@ regularized configuration.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

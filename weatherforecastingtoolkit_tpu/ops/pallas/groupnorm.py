@@ -17,7 +17,6 @@ steps are compile-once anyway). Used by the VAE blocks behind
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
