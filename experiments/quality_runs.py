@@ -209,7 +209,7 @@ def run_alphapre(args):
             # the 4-term spectral loss alone blurs (loses SSIM only)
             flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
             s = _dssim(flat(pred), flat(frames_gt))
-            return loss["total_loss"] + 0.02 * (1.0 - s)
+            return loss["total_loss"] + 0.06 * (1.0 - s)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt = tx.update(grads, opt, params)
         return (optax.apply_updates(params, upd), opt, step + 1), loss
