@@ -42,12 +42,15 @@ VAE_CHANNELS = (64, 128, 256, 512, 512)  # 4 downsamples: 128 -> 8
 NORM_GROUPS = 32
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
-# peak specs per device kind for MFU / HBM-BW utilization estimates
-# (bf16 matmul FLOP/s, HBM bytes/s)
+# peak specs per device kind for MFU / HBM-BW utilization estimates:
+# {kind prefix: (bf16 matmul FLOP/s, HBM bytes/s, int8 OP/s)}. Matched on the
+# LONGEST prefix ("TPU v5 lite" must win over "TPU v5" regardless of dict
+# order). int8 peak is 2x bf16 on every listed generation — used so an int8
+# headline's MFU is scored against the int8 roofline, not the bf16 one.
 DEVICE_PEAKS = {
-    "TPU v5 lite": (197e12, 819e9),
-    "TPU v5": (459e12, 1228e9),
-    "TPU v4": (275e12, 1200e9),
+    "TPU v5 lite": (197e12, 819e9, 394e12),
+    "TPU v5": (459e12, 1228e9, 918e12),
+    "TPU v4": (275e12, 1200e9, 275e12),  # v4 has no 2x int8 MXU path
 }
 
 
@@ -129,16 +132,19 @@ def _xla_cost(jitted, *args):
         return None, None
 
 
-def _utilization(flops, nbytes, seconds):
-    """(MFU, HBM-BW utilization) vs this chip's peaks; Nones pass through."""
+def _utilization(flops, nbytes, seconds, precision="bf16"):
+    """(MFU, HBM-BW utilization) vs this chip's peaks; Nones pass through.
+    `precision` selects the matmul roofline ("int8" scores against the int8
+    peak; everything else against bf16)."""
     import jax
     kind = jax.devices()[0].device_kind
-    peaks = next((v for k, v in DEVICE_PEAKS.items() if kind.startswith(k)),
-                 None)
-    if peaks is None:
+    matches = [k for k in DEVICE_PEAKS if kind.startswith(k)]
+    if not matches:
         log(f"no peak table for device kind {kind!r}")
         return None, None
-    mfu = flops / seconds / peaks[0] if flops else None
+    peaks = DEVICE_PEAKS[max(matches, key=len)]
+    flop_peak = peaks[2] if precision == "int8" else peaks[0]
+    mfu = flops / seconds / flop_peak if flops else None
     bwu = nbytes / seconds / peaks[1] if nbytes else None
     return mfu, bwu
 
@@ -197,7 +203,7 @@ def bench_jax():
     log(f"headline: {name} (quality-gated)")
 
     flops, nbytes = _xla_cost(pipe, fcv, frames)
-    mfu, bwu = _utilization(flops, nbytes, t_step)
+    mfu, bwu = _utilization(flops, nbytes, t_step, precision=name)
     if mfu is not None:
         log(f"rollout: {flops/1e9:.1f} GFLOP, {nbytes/1e9:.2f} GB accessed "
             f"-> MFU {mfu*100:.1f}%, HBM-BW {bwu*100:.1f}% of peak")

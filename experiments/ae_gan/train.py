@@ -18,8 +18,7 @@ import optax  # noqa: E402
 from experiments.common import main  # noqa: E402
 from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator  # noqa: E402
 from weatherforecastingtoolkit_tpu.models.registry import build_model  # noqa: E402
-from weatherforecastingtoolkit_tpu.training.gan import (init_gan_state,  # noqa: E402
-                                                        make_vae_gan_task)
+from weatherforecastingtoolkit_tpu.training.gan import make_vae_gan_task  # noqa: E402
 
 
 def build_task(cfg, dm):
@@ -95,4 +94,4 @@ def build_task(cfg, dm):
 
 
 if __name__ == "__main__":
-    main(__file__, build_task, init_state_fn=init_gan_state)
+    main(__file__, build_task)

@@ -124,7 +124,10 @@ def main(exp_file: str, build_task: Callable,
             task.loss_fn = mixed_loss(task.loss_fn)
         trainer = Trainer(cfg, task, resume=resume)
         # pre-fit LR range test (reference pipeline/helpers.py:34-61 saves
-        # lr_range_test.png; here it sweeps the task's own loss/optimizer)
+        # lr_range_test.png). The sweep steps with the same optimizer family
+        # the experiment trains with (AdamW + the config's betas/decay, lr
+        # injected per step) so the explosion point transfers to the real run
+        # — a plain-SGD sweep's explosion point would not.
         lrt = cfg.get("lr_range_test", None)
         if lrt is not None and lrt.get("enabled", False):
             import jax as _jax
@@ -134,16 +137,23 @@ def main(exp_file: str, build_task: Callable,
                 lr_range_test)
 
             params = task.init_params(_jax.random.key(int(cfg.get("seed", 0))))
+            op = cfg.get("optim", {})
+            inj = _optax.inject_hyperparams(_optax.adamw)(
+                learning_rate=float(lrt.get("start_lr", 1e-7)),
+                b1=float(op.get("beta1", 0.9)),
+                b2=float(op.get("beta2", 0.999)),
+                weight_decay=float(op.get("weight_decay", 0.01)))
             it = iter(train_loader)
-            rng_box = {"rng": _jax.random.key(1), "params": params}
+            rng_box = {"rng": _jax.random.key(1), "params": params,
+                       "opt": inj.init(params)}
 
             @_jax.jit
-            def _sweep_step(params, batch, rng, lr):
+            def _sweep_step(params, opt_state, batch, rng, lr):
                 loss, grads = _jax.value_and_grad(
                     lambda p: task.loss_fn(p, batch, rng, 0)[0])(params)
-                new = _jax.tree_util.tree_map(lambda p, g: p - lr * g,
-                                              params, grads)
-                return new, loss
+                opt_state.hyperparams["learning_rate"] = lr
+                updates, opt_state = inj.update(grads, opt_state, params)
+                return _optax.apply_updates(params, updates), opt_state, loss
 
             def loss_at_lr(lr):
                 nonlocal it
@@ -153,8 +163,8 @@ def main(exp_file: str, build_task: Callable,
                     it = iter(train_loader)
                     batch = next(it)
                 rng_box["rng"], key = _jax.random.split(rng_box["rng"])
-                rng_box["params"], loss = _sweep_step(
-                    rng_box["params"], batch, key, float(lr))
+                rng_box["params"], rng_box["opt"], loss = _sweep_step(
+                    rng_box["params"], rng_box["opt"], batch, key, float(lr))
                 return float(loss)
 
             lrs, losses = lr_range_test(

@@ -150,7 +150,16 @@ def main(argv=None):
     all_eval = [jnp.asarray(b["vil"]) for b in
                 BatchLoader(test_ds, eval_bs, num_workers=2)]
     sel_batches = all_eval[::2]
-    rep_batches = [b for i, b in enumerate(all_eval) if i % 2 == 1] or sel_batches
+    rep_batches = [b for i, b in enumerate(all_eval) if i % 2 == 1]
+    splits_aliased = not rep_batches
+    if splits_aliased:
+        # stage-2c checkpoint selection would then be tuned on the same data
+        # the final table reports — flag it everywhere the numbers show up
+        print("[data] WARNING: only one held-out eval batch; the REPORT "
+              "split ALIASES the SELECTION split, so the final table is "
+              "selection-biased. Increase --events (or lower --batch) for "
+              "disjoint splits.")
+        rep_batches = sel_batches
     print(f"[data] {dm.num_train_samples} train windows, "
           f"{len(sel_batches)}/{len(rep_batches)} selection/report eval batches")
 
@@ -461,6 +470,9 @@ def main(argv=None):
               f"score {best[1]:+.4f}")
 
     # ------------------------------------------ stage 3: final report
+    if splits_aliased:
+        print("\n[final] NOTE: report split == selection split (single eval "
+              "batch) — numbers below are selection-biased")
     wins, score, model_m, persist_m, ceil_m = evaluate(
         "final", vae_vars, fc_vars, rep_batches)
     print(f"\nmodel beats persistence on {wins}/{len(HEADLINE)} headline "

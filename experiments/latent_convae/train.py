@@ -19,13 +19,9 @@ from experiments.common import main  # noqa: E402
 from experiments.latent_common import build_frozen_vae  # noqa: E402
 from weatherforecastingtoolkit_tpu.models.latent_ae import ConvModel  # noqa: E402
 from weatherforecastingtoolkit_tpu.models.losses.gan import NLayerDiscriminator  # noqa: E402
-from weatherforecastingtoolkit_tpu.training.gan import (init_gan_state,  # noqa: E402
-                                                        make_vae_gan_task)
+from weatherforecastingtoolkit_tpu.training.gan import make_vae_gan_task  # noqa: E402
 from weatherforecastingtoolkit_tpu.training.tasks import (Task, dequantize,  # noqa: E402
                                                           pixel_loss)
-
-INIT_STATE = {"fn": None}
-
 
 def build_task(cfg, dm):
     encode_apply, _m, decode_apply, latent_shape = build_frozen_vae(cfg)
@@ -79,7 +75,6 @@ def build_task(cfg, dm):
         task.loss_fn = loss_fn
         task.eval_fn = _make_eval(model, frames_to_latents, decode_apply,
                                   latent_shape, gan=True)
-        INIT_STATE["fn"] = init_gan_state
         return task
 
     px = pixel_loss(cfg.get("loss", "huber"))
@@ -96,7 +91,6 @@ def build_task(cfg, dm):
                 loss_fn=loss_fn,
                 eval_fn=_make_eval(model, frames_to_latents, decode_apply,
                                    latent_shape, gan=False))
-    INIT_STATE["fn"] = None
     return task
 
 
@@ -112,10 +106,5 @@ def _make_eval(model, frames_to_latents, decode_apply, latent_shape, gan):
     return eval_fn
 
 
-def _init_state(trainer, task):
-    fn = INIT_STATE["fn"]
-    return fn(trainer, task) if fn else trainer.init_state()
-
-
 if __name__ == "__main__":
-    main(__file__, build_task, init_state_fn=_init_state)
+    main(__file__, build_task)

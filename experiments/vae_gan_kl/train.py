@@ -10,7 +10,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 
 from experiments.ae_gan.train import build_task  # noqa: E402
 from experiments.common import main  # noqa: E402
-from weatherforecastingtoolkit_tpu.training.gan import init_gan_state  # noqa: E402
 
 if __name__ == "__main__":
-    main(__file__, build_task, init_state_fn=init_gan_state)
+    main(__file__, build_task)

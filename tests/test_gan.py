@@ -16,7 +16,7 @@ from weatherforecastingtoolkit_tpu.models.losses.gan import (NLayerDiscriminator
                                                              adopt_weight,
                                                              hinge_d_loss,
                                                              vanilla_d_loss)
-from weatherforecastingtoolkit_tpu.training.gan import init_gan_state, make_vae_gan_task
+from weatherforecastingtoolkit_tpu.training.gan import make_vae_gan_task
 from weatherforecastingtoolkit_tpu.training.trainer import Trainer
 from weatherforecastingtoolkit_tpu.utils.config import Config
 
@@ -107,7 +107,7 @@ def gan_setup(tmp_path_factory):
 def test_gan_step_end_to_end(gan_setup, rng):
     cfg, task = gan_setup
     trainer = Trainer(cfg, task)
-    state = init_gan_state(trainer, task)
+    state = trainer.init_state()
 
     batch = {"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
     d0 = jax.tree_util.tree_leaves(state.extra["disc_params"])[0].copy()

@@ -168,6 +168,52 @@ def test_calc_metrics_ensemble_axis(rng):
     assert np.isfinite(m["CRPS"]) and np.isfinite(m["SSIM"])
 
 
+def test_crps_standalone_matches_reference(rng):
+    """Standalone crps() (incl. max pooling, which calc_metrics doesn't emit)
+    vs a torch transcription of the reference formula (the reference module
+    itself imports torchmetrics, absent here; transcribed from
+    pipeline/metrics.py:18-41)."""
+    import torch
+    import torch.nn.functional as F
+
+    from weatherforecastingtoolkit_tpu.metrics import crps
+
+    def ref_crps(pred, target, pool_type="none", scale=1):
+        normal = torch.distributions.Normal(0, 1)
+        eps = 1e-10
+        if pred.ndim == 5:
+            pred = pred.unsqueeze(1)
+        b, n, t, c, h, w = pred.shape
+        gt = target.reshape(b * t, c, h, w)
+        pr = pred.reshape(b * n * t, c, h, w)
+        if pool_type == "avg":
+            pr = F.avg_pool2d(pr, scale, stride=scale)
+            gt = F.avg_pool2d(gt, scale, stride=scale)
+        elif pool_type == "max":
+            pr = F.max_pool2d(pr, scale, stride=scale)
+            gt = F.max_pool2d(gt, scale, stride=scale)
+        gt = gt.reshape(b, t, c, gt.shape[-2], gt.shape[-1])
+        pr = pr.reshape(b, n, t, c, pr.shape[-2], pr.shape[-1])
+        mean = torch.mean(pr, dim=1)
+        std = torch.std(pr, dim=1) if n > 1 else torch.zeros_like(mean)
+        normed = (mean - gt + eps) / (std + eps)
+        cdf = normal.cdf(normed)
+        pdf = normal.log_prob(normed).exp()
+        val = (std + eps) * (normed * (2 * cdf - 1) + 2 * pdf
+                             - 1 / np.sqrt(np.pi))
+        return float(torch.mean(val).item())
+
+    target = rng.random((2, 3, 1, 16, 16)).astype(np.float32)
+    for pred_shape in ((2, 3, 1, 16, 16), (2, 4, 3, 1, 16, 16)):
+        pred = rng.random(pred_shape).astype(np.float32)
+        for pool_type, scale in (("none", 1), ("avg", 4), ("max", 4)):
+            ours = crps(pred, target, pool_type, scale)
+            ref = ref_crps(torch.from_numpy(pred), torch.from_numpy(target),
+                           pool_type, scale)
+            assert ours == pytest.approx(ref, abs=2e-5), (pred_shape,
+                                                          pool_type, scale)
+
+
 def test_csi_hss_max_pooling(rng):
     pred = rng.random((1, 2, 1, 16, 16)).astype(np.float32)
     target = rng.random((1, 2, 1, 16, 16)).astype(np.float32)

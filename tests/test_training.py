@@ -176,6 +176,84 @@ def test_accumulation_counts_optimizer_updates(tiny_cfg, rng):
     trainer.close()
 
 
+def test_overfit_batches_repeats_one_batch(tiny_cfg, rng):
+    """overfit_batches=1 must train on the SAME first batch every epoch (the
+    reference pl.Trainer(overfit_batches=1) smoke mode, ae_gan/train.py:591)
+    — not merely limit the count like limit_train_batches."""
+    class CountingLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.fetches = 0
+            self.epochs_seen = []
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            self.epochs_seen.append(e)
+
+        def __iter__(self):
+            for b in self.batches:
+                self.fetches += 1
+                yield b
+
+    cfg = Config(tiny_cfg).merge({
+        "experiment_name": "tiny_overfit",
+        "trainer": {"overfit_batches": 1, "max_epochs": 3,
+                    "total_train_steps": 3},
+        "logging": {"log_every_n_steps": 1, "val_every_n": 10.0},
+    })
+    loader = CountingLoader(
+        [{"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+         for _ in range(5)])
+    task = reconstruction_task(_tiny_model(), loss="l1")
+    trainer = Trainer(cfg, task)
+    state = trainer.fit(loader)
+    assert int(state.step) == 3       # 3 epochs x 1 cached batch
+    assert loader.fetches == 1        # the loader was only ever read once
+    assert loader.epochs_seen == []   # no per-epoch reshuffle/re-aug
+    trainer.close()
+
+
+def test_derive_steps_overfit():
+    cfg = Config({"trainer": {"max_epochs": 4, "accumulate_grad_batches": 1,
+                              "overfit_batches": 2,
+                              "limit_train_batches": None,
+                              "limit_val_batches": None,
+                              "limit_test_batches": None}})
+    out = derive_steps(cfg, n_train_batches=100, n_val_batches=10)
+    assert out.trainer.total_train_steps == 8  # 2 batches x 4 epochs
+
+
+def test_param_histograms_logged(tiny_cfg, rng):
+    """Opt-in wandb.watch analog: weight + grad histograms land in
+    histograms.jsonl at the configured cadence."""
+    import json
+
+    cfg = Config(tiny_cfg).merge({
+        "experiment_name": "tiny_hist",
+        "trainer": {"max_epochs": 1, "total_train_steps": 2},
+        "logging": {"log_every_n_steps": 1, "val_every_n": 10.0,
+                    "param_histograms_every_n": 0.5},
+    })
+    task = reconstruction_task(_tiny_model(), loss="l1")
+    trainer = Trainer(cfg, task)
+    batches = [{"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+               for _ in range(2)]
+    trainer.fit(batches)
+    path = os.path.join(trainer.run_dir, "histograms.jsonl")
+    assert os.path.exists(path)
+    recs = [json.loads(l) for l in open(path)]
+    keys = set().union(*(r.keys() for r in recs))
+    assert any(k.startswith("weight/") for k in keys)
+    assert any(k.startswith("grad/") for k in keys)
+    sample = next(v for r in recs for k, v in r.items()
+                  if k.startswith("grad/") and isinstance(v, dict)
+                  and "counts" in v)
+    assert sum(sample["counts"]) > 0
+    trainer.close()
+
+
 def test_validate_produces_metric_dict(tiny_cfg):
     dm = SEVIRDataModule(dataset_name="sevirlr", sevir_dir=tiny_cfg.sevir_root,
                          seq_len=13, stride=12, layout="NTCHW", batch_size=2,

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import datetime
 import os
+import tempfile
+import time
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -92,6 +94,7 @@ class SEVIRDataModule:
         shuffle_train: bool = True,
         use_cache: bool = False,
         cache_dir: Optional[str] = None,
+        run_preflight: bool = False,
     ):
         if dataset_name not in DATASET_PRESETS:
             raise ValueError(
@@ -120,9 +123,29 @@ class SEVIRDataModule:
         self.aug_interp = aug_interp
         self.rescale_method = rescale_method
         self.data_types = tuple(data_types)
+        # auto-shard under jax.distributed: when the caller didn't ask for
+        # explicit sharding and this process is part of an initialized
+        # multi-process run, default to one shard per process (the analog of
+        # the reference wiring SEVIRDataLoader(num_shard, rank) from the
+        # launcher, sevir/sevir.py:161-172 — which its Lightning configs never
+        # actually did). Soft-checked via sys.modules so the data layer stays
+        # importable without jax.
+        if num_shard == 1:
+            import sys as _sys
+            _jax = _sys.modules.get("jax")
+            if _jax is not None:
+                try:
+                    if _jax.process_count() > 1:
+                        num_shard = _jax.process_count()
+                        rank = _jax.process_index()
+                        print(f"[data] auto-sharding events: rank "
+                              f"{rank + 1}/{num_shard} (jax.distributed)")
+                except Exception:  # noqa: BLE001 — backend not initialized yet
+                    pass
         self.num_shard = num_shard
         self.rank = rank
         self.shuffle_train = shuffle_train
+        self.run_preflight = run_preflight
         self.use_cache = use_cache
         self.cache_dir = cache_dir or (os.path.join(sevir_dir, "cache_packed")
                                        if sevir_dir else None)
@@ -144,6 +167,16 @@ class SEVIRDataModule:
                 "download_sevir/download_sevirlr for instructions.")
         if not os.path.exists(self.raw_data_dir):
             raise FileNotFoundError(f"SEVIR data dir not found: {self.raw_data_dir}")
+        if self.run_preflight:
+            # fail fast, BEFORE a long run, on schema/geometry mismatches
+            # (docs/real_sevir.md) — raises PreflightError with the report
+            from .preflight import preflight
+            rep = preflight(self.sevir_dir or os.path.dirname(self.catalog_path),
+                            dataset_name=self.dataset_name,
+                            data_types=self.data_types,
+                            catalog_path=self.catalog_path,
+                            raw_data_dir=self.raw_data_dir, strict=True)
+            print(rep.summary())
 
     def _make(self, start, end, aug_mode, shuffle, tag="train"):
         if self.use_cache:
@@ -166,14 +199,7 @@ class SEVIRDataModule:
         ids = [ev.event_id for ev in index]
         if not cache_valid(self.cache_dir, tag, ids, self.data_types,
                            self.raw_seq_len):
-            print(f"[cache] building packed cache for split {tag!r} "
-                  f"({len(index)} events) at {self.cache_dir}")
-            builder = SEVIRDataset(
-                catalog=index, data_dir=self.raw_data_dir,
-                data_types=self.data_types, seq_len=self.raw_seq_len,
-                raw_seq_len=self.raw_seq_len, stride=self.raw_seq_len,
-                layout=self.layout)
-            build_cache(builder, self.cache_dir, split=tag)
+            self._build_cache_once(index, ids, tag)
         # same event permutation EventIndex.shuffled(seed) would produce, so
         # cached and HDF5 paths index identical (event, window) pairs
         perm = (np.random.default_rng(self.seed + 1).permutation(len(index))
@@ -185,6 +211,65 @@ class SEVIRDataModule:
             aug_seed=self.seed, aug_interp=self.aug_interp,
             num_shard=self.num_shard, rank=self.rank,
             split_mode="uneven", event_perm=perm)
+
+    def _build_cache_once(self, index, ids, tag,
+                          stale_lock_s: float = 3600.0) -> None:
+        """Build the packed cache for `tag` exactly once across concurrent
+        processes (multi-host ranks share a filesystem, so with num_shard>1
+        every rank reaches this point at the same time). One process wins an
+        O_EXCL lockfile and builds into a temp dir, publishing with atomic
+        renames — array files first, meta last, so `cache_valid` (which keys
+        on the meta) only flips once the cache is complete. Losers poll until
+        the cache is valid. A lock older than `stale_lock_s` is presumed
+        abandoned (builder crashed) and is stolen."""
+        from .cache import build_cache, cache_valid
+
+        os.makedirs(self.cache_dir, exist_ok=True)
+        lock = os.path.join(self.cache_dir, f".{tag}.build_lock")
+        while not cache_valid(self.cache_dir, tag, ids, self.data_types,
+                              self.raw_seq_len):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if os.path.getmtime(lock) < time.time() - stale_lock_s:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    pass  # lock vanished between the checks — retry
+                time.sleep(0.5)
+                continue
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                print(f"[cache] building packed cache for split {tag!r} "
+                      f"({len(index)} events) at {self.cache_dir}")
+                builder = SEVIRDataset(
+                    catalog=index, data_dir=self.raw_data_dir,
+                    data_types=self.data_types, seq_len=self.raw_seq_len,
+                    raw_seq_len=self.raw_seq_len, stride=self.raw_seq_len,
+                    layout=self.layout)
+                tmp = tempfile.mkdtemp(prefix=f".build_{tag}_",
+                                       dir=self.cache_dir)
+                try:
+                    build_cache(builder, tmp, split=tag)
+                    for t in self.data_types:
+                        src = os.path.join(tmp, f"{tag}_{t}.npy")
+                        if os.path.exists(src):  # empty splits have no arrays
+                            os.replace(src,
+                                       os.path.join(self.cache_dir,
+                                                    f"{tag}_{t}.npy"))
+                    os.replace(os.path.join(tmp, f"{tag}_meta.json"),
+                               os.path.join(self.cache_dir,
+                                            f"{tag}_meta.json"))
+                finally:
+                    if os.path.isdir(tmp) and not os.listdir(tmp):
+                        os.rmdir(tmp)
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
 
     def setup(self, stage: Optional[str] = None) -> None:
         if stage in (None, "fit"):

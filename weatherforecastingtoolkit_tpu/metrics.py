@@ -171,6 +171,31 @@ def calc_metrics(pred, target, psnr_data_range=1.0) -> Dict[str, float]:
 
 
 # Re-exports for standalone use (reference exposes csi/hss/crps/ssim/psnr).
+def crps(pred, target, pool_type="none", scale=1) -> float:
+    """Standalone Gaussian CRPS with optional avg/max pooling — the direct
+    analog of reference `crps` (pipeline/metrics.py:18-41). `pred` is
+    (B, T, C, H, W) or (B, N, T, C, H, W) with an ensemble axis; the ensemble
+    std uses ddof=1 (torch.std), N==1 -> std 0. Unlike `calc_metrics` (which
+    only emits avg-pooled CRPS), this exposes the reference's max-pool mode."""
+    pred = jnp.asarray(pred, dtype=jnp.float32)
+    target = jnp.asarray(target, dtype=jnp.float32)
+    if pred.ndim == 5:
+        pred = pred[:, None]
+    b, n = pred.shape[:2]
+    pr = pred.reshape((-1,) + pred.shape[-2:])      # (B*N*T*C, H, W)
+    gt = target.reshape((-1,) + target.shape[-2:])  # (B*T*C, H, W)
+    if pool_type == "avg":
+        pr, gt = avg_pool2d(pr, scale), avg_pool2d(gt, scale)
+    elif pool_type == "max":
+        from .ops.pooling import max_pool2d
+        pr, gt = max_pool2d(pr, scale), max_pool2d(gt, scale)
+    pr = pr.reshape(pred.shape[:4] + pr.shape[-2:])   # (B,N,T,C,h,w)
+    gt = gt.reshape(target.shape[:3] + gt.shape[-2:])
+    mean = jnp.mean(pr, axis=1)
+    std = jnp.std(pr, axis=1, ddof=1) if n > 1 else jnp.zeros_like(mean)
+    return float(_crps_gaussian(mean, std, gt))
+
+
 def csi(pred, target, threshold, pool_type="none", scale=1) -> float:
     pred = jnp.clip(jnp.asarray(pred, dtype=jnp.float32), 0, 1)
     target = jnp.clip(jnp.asarray(target, dtype=jnp.float32), 0, 1)

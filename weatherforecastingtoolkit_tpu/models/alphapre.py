@@ -102,9 +102,6 @@ class AmpTimeCell(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T_in, C, H, W) -> (B, T_out, C, H, W)."""
-        scale = 0.02
-        init = nn.initializers.normal(scale / np.sqrt(scale))  # ~N(0, .02) scaled
-
         def p(name, shape):
             return self.param(name, nn.initializers.normal(0.02), shape)
 

@@ -245,10 +245,3 @@ def make_vae_gan_task(
     return Task(name=name, init_params=init_params, loss_fn=loss_fn,
                 eval_fn=eval_fn, custom_train_step=custom_train_step,
                 init_extra=init_extra)
-
-
-def init_gan_state(trainer, task) -> TrainState:
-    """Deprecated shim: the Trainer now builds the discriminator state itself
-    via Task.init_extra (and resume restores it). Kept so existing experiment
-    scripts that pass `init_state_fn=init_gan_state` keep working."""
-    return trainer.init_state()

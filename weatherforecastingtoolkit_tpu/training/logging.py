@@ -54,6 +54,32 @@ class RunLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_histograms(self, named_arrays: Dict[str, np.ndarray], step: int,
+                       prefix: Optional[str] = None, bins: int = 64) -> None:
+        """Per-parameter weight/gradient histograms (the reference's
+        `wandb.watch(log='all')`, pipeline/helpers.py:227-235). Local backend:
+        one JSONL record per logging event in histograms.jsonl with fixed-bin
+        counts + range per tensor; wandb backend gets native Histograms."""
+        rec = {"step": int(step), "time": time.time()}
+        wb = {}
+        for name, v in named_arrays.items():
+            v = np.asarray(v, dtype=np.float64).ravel()
+            key = f"{prefix}_{name}" if prefix else name
+            if v.size == 0 or not np.all(np.isfinite(v)):
+                rec[key] = {"non_finite": True}
+                continue
+            counts, edges = np.histogram(v, bins=bins)
+            rec[key] = {"counts": counts.tolist(),
+                        "min": float(edges[0]), "max": float(edges[-1]),
+                        "mean": float(v.mean()), "std": float(v.std())}
+            if self._wandb is not None:
+                wb[key] = self._wandb.Histogram(np_histogram=(counts, edges))
+        path = os.path.join(self.run_dir, "histograms.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None and wb:
+            self._wandb.log(wb, step=step)
+
     def log_images(self, predicted, target, label: str, step: int,
                    batch_idxs: int = 4) -> None:
         """3xT panels: original / reconstruction / abs diff with the VIL

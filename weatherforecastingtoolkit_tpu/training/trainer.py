@@ -96,6 +96,9 @@ def derive_steps(cfg: Config, n_train_batches: int, n_val_batches: int,
     epochs = int(cfg.trainer.max_epochs)
     cfg = cfg.merge({})  # deep copy
     t = cfg.trainer
+    overfit = int(t.get("overfit_batches", 0) or 0)
+    if overfit > 0:  # epoch length becomes the overfit batch count
+        n_train_batches = min(n_train_batches, overfit)
     t.total_train_steps = int(n_train_batches * epochs / accum)
     t.total_val_steps = int(n_val_batches * epochs / accum)
     t.total_test_steps = int(n_test_batches * epochs / accum)
@@ -140,6 +143,12 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._eval_loss = jax.jit(
             lambda params, batch, rng: self.task.loss_fn(params, batch, rng, 0))
+        # opt-in per-parameter histogram probe (wandb.watch analog): grads are
+        # recomputed by a separate jitted program at the logging cadence only,
+        # so the hot train step never pays for returning full gradient trees
+        self._grad_fn = jax.jit(
+            lambda params, batch, rng, step: jax.grad(
+                lambda p: self.task.loss_fn(p, batch, rng, step)[0])(params))
 
     # -- state ----------------------------------------------------------------
     def _init_state(self, rng: jax.Array) -> TrainState:
@@ -216,6 +225,22 @@ class Trainer:
         limit = cfg.trainer.get("limit_train_batches", None)
         epochs = int(cfg.trainer.max_epochs)
         sharding = self.batch_sharding()
+        # overfit_batches=N: repeat the SAME first N batches every epoch (the
+        # reference's pl.Trainer(overfit_batches=1) smoke mode,
+        # ae_gan/train.py:591) — unlike limit_train_batches, augmentation is
+        # NOT re-seeded per epoch, so the model must drive those exact batches
+        # to ~zero loss
+        overfit = int(cfg.trainer.get("overfit_batches", 0) or 0)
+        overfit_cache = None
+        if overfit > 0:
+            # read straight off the loader (no prefetch look-ahead) so exactly
+            # `overfit` batches are ever fetched, then pin them on device
+            overfit_cache = [
+                jax.device_put(b, sharding) if sharding else jax.device_put(b)
+                for _, b in zip(range(overfit), iter(train_loader))]
+        hist_frac = cfg.logging.get("param_histograms_every_n", None)
+        hist_every = (accum * max(1, int(self.total_steps * float(hist_frac)))
+                      if hist_frac else None)
 
         step = start_step
         t_last = time.time()
@@ -223,17 +248,25 @@ class Trainer:
         for epoch in range(epochs):
             if done:
                 break
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch)
-            n_batches = len(train_loader)
-            if limit is not None:
-                n_batches = int(n_batches * float(limit)) if limit <= 1 else int(limit)
-            for i, batch in enumerate(device_prefetch(train_loader, sharding=sharding)):
+            if overfit_cache is not None:
+                batches = overfit_cache
+                n_batches = len(overfit_cache)
+            else:
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
+                n_batches = len(train_loader)
+                if limit is not None:
+                    n_batches = (int(n_batches * float(limit)) if limit <= 1
+                                 else int(limit))
+                batches = device_prefetch(train_loader, sharding=sharding)
+            for i, batch in enumerate(batches):
                 if i >= n_batches:
                     break
                 state, aux = self._train_step(state, batch)
                 step = int(state.step)
                 updates = step // accum  # optimizer updates so far
+                if hist_every is not None and step % hist_every == 0:
+                    self._log_param_histograms(state, batch, step)
                 if step % log_every == 0:
                     aux = {k: float(v) for k, v in jax.device_get(aux).items()}
                     # the schedule advances once per optimizer update
@@ -254,6 +287,26 @@ class Trainer:
         # save_last semantics
         self.ckpt.save(max(step, 1), jax.device_get(state), force=True)
         return state
+
+    def _log_param_histograms(self, state: TrainState, batch, step: int
+                              ) -> None:
+        """Per-parameter weight + gradient histograms (opt-in via
+        logging.param_histograms_every_n; wandb.watch analog). For
+        custom-step tasks (e.g. GAN) only weights are probed — their
+        gradients are internal to the custom step."""
+        named = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+            named[f"weight/{jax.tree_util.keystr(path)}"] = jax.device_get(leaf)
+        if self.task.custom_train_step is None:
+            try:
+                grads = self._grad_fn(state.params, batch, state.rng, state.step)
+                for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+                    named[f"grad/{jax.tree_util.keystr(path)}"] = \
+                        jax.device_get(leaf)
+            except Exception as e:  # noqa: BLE001 — diagnostics must not kill
+                print(f"[trainer] grad histogram probe failed: "
+                      f"{type(e).__name__}: {e}")
+        self.logger.log_histograms(named, step)
 
     def validate(self, state: TrainState, val_loader, step: int,
                  tag: str = "val", max_batches: Optional[int] = None,
