@@ -52,6 +52,66 @@ def test_int8_conv_zero_input_safe():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+def test_int8_static_calibrated_accuracy(rng):
+    """Static per-input-channel activation scales (calibration folded into
+    the weights) must at least match dynamic per-tensor accuracy on
+    channel-heteroscedastic inputs — the failure mode that sank dynamic int8
+    at SSIM 0.76 (RESULTS.md round 2)."""
+    from weatherforecastingtoolkit_tpu.ops.quant import int8_conv_static
+
+    # channels with wildly different magnitudes: per-tensor scales waste
+    # resolution on the small channels; per-channel scales don't
+    chan_scale = np.logspace(-2, 1, 16).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 16)).astype(np.float32)
+                    * chan_scale)
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 16)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.01)
+    absmax = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+
+    got = int8_conv_static(x, k, b, (1, 1), "SAME", absmax)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                        dimension_numbers=dn) + b
+    err_static = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    dyn = int8_conv(x, k, b, (1, 1), "SAME")
+    err_dyn = float(jnp.linalg.norm(dyn - want) / jnp.linalg.norm(want))
+    assert err_static < 0.03, err_static
+    assert err_static < err_dyn, (err_static, err_dyn)
+
+
+def test_vae_calibrate_then_int8_static(rng):
+    """calibrate() on the conv_mode='calibrate' VAE yields a qscales
+    collection that the int8_static VAE consumes; output tracks native with
+    the SAME param tree, and out-of-calibration inputs still clip safely."""
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import (
+        AutoencoderKL)
+    from weatherforecastingtoolkit_tpu.ops.quant import calibrate
+
+    kw = dict(in_channels=1, out_channels=1, block_out_channels=(16, 32),
+              layers_per_block=1, latent_channels=4, norm_num_groups=8)
+    native = AutoencoderKL(**kw)
+    calib = AutoencoderKL(conv_mode="calibrate", **kw)
+    static = AutoencoderKL(conv_mode="int8_static", **kw)
+
+    x = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+    nv = native.init(jax.random.key(0), x)
+
+    batches = [jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+               for _ in range(3)]
+    qscales = calibrate(
+        lambda v, b: calib.apply(v, b, mutable=["qstats"]), nv, batches)
+
+    out_native = native.apply(nv, x)
+    out_static = static.apply({**nv, "qscales": qscales}, x)
+    err = float(jnp.linalg.norm(out_static - out_native)
+                / (jnp.linalg.norm(out_native) + 1e-8))
+    assert err < 0.15, err
+    # 2x-out-of-range input must clip, not blow up
+    out_oor = static.apply({**nv, "qscales": qscales}, 2.0 * x)
+    assert np.isfinite(np.asarray(out_oor)).all()
+
+
 def test_autoencoder_int8_same_params_and_close_output(rng):
     """conv_mode='int8' consumes the native param tree unchanged and its
     decode tracks the native output."""

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
-CONV_MODES = ("native", "int8")
+CONV_MODES = ("native", "int8", "int8_static", "calibrate")
 
 
 def _as_pad(padding: Union[str, int, Sequence[Tuple[int, int]]], nd: int = 2):
@@ -72,6 +72,61 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias, strides, padding
     return y.astype(x.dtype)
 
 
+def calibrate(model_apply, variables, batches):
+    """Collect per-conv per-input-channel abs-max over calibration batches.
+
+    `model_apply(variables, batch)` must run the model built with
+    conv_mode="calibrate" and `mutable=["qstats"]`, returning
+    (out, mutated_variables). Maxima accumulate across batches (sow
+    reduce_fn). Returns the collection to pass as variables["qscales"] to the
+    conv_mode="int8_static" model — its structure mirrors the param tree, and
+    the 'params' collection itself is untouched (fp32/bf16 checkpoints serve
+    quantized as-is).
+    """
+    qscales = None
+    for batch in batches:
+        v = dict(variables)
+        if qscales is not None:
+            v["qstats"] = qscales
+        _, mut = model_apply(v, batch)
+        qscales = mut["qstats"]
+    if qscales is None:
+        raise ValueError("calibrate() needs at least one batch")
+    return qscales
+
+
+def int8_conv_static(x: jnp.ndarray, kernel: jnp.ndarray, bias,
+                     strides, padding, act_absmax: jnp.ndarray) -> jnp.ndarray:
+    """Statically-calibrated W8A8 conv: per-INPUT-channel activation scales
+    folded into the weights, so the activation path is one fused
+    multiply+round+clip+cast — no per-batch abs-max reduction pass (the
+    measured cost that made dynamic int8 a net loss, RESULTS.md round 2).
+
+    act_absmax: (Cin,) calibration abs-max of this conv's input. The folding
+    identity: sum_k (x_k / s_k) * (w_k * s_k) == sum_k x_k w_k, with the
+    weight-side product quantized per output channel. Everything weight-side
+    is constant-folded by XLA at compile time (static scales).
+    """
+    s_a = jnp.maximum(act_absmax.astype(jnp.float32), 1e-12) / 127.0  # (Cin,)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127
+                  ).astype(jnp.int8)
+
+    kf = kernel.astype(jnp.float32) * s_a[None, None, :, None]
+    w_absmax = jnp.max(jnp.abs(kf), axis=(0, 1, 2))               # (Cout,)
+    s_w = jnp.where(w_absmax > 0, w_absmax / 127.0, 1.0)
+    wq = jnp.round(kf / s_w).astype(jnp.int8)
+
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(xq, wq, strides, _as_pad(padding),
+                                 dimension_numbers=dn,
+                                 preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * s_w
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class QConv(nn.Module):
     """nn.Conv-compatible conv with a quantized serving mode.
 
@@ -99,6 +154,22 @@ class QConv(nn.Module):
                 if self.use_bias else None)
         if self.mode == "int8":
             return int8_conv(x, kernel, bias, strides, self.padding)
+        if self.mode == "int8_static":
+            # calibration scales live in their own 'qscales' collection so the
+            # 'params' tree stays checkpoint-identical to nn.Conv
+            absmax = self.variable(
+                "qscales", "act_absmax",
+                lambda: jnp.ones((x.shape[-1],), jnp.float32))
+            return int8_conv_static(x, kernel, bias, strides, self.padding,
+                                    absmax.value)
+        if self.mode == "calibrate":
+            # record per-input-channel abs-max into 'qstats' (reduce=max over
+            # calls/batches), compute natively
+            self.sow("qstats", "act_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32)),
+                             axis=tuple(range(x.ndim - 1))),
+                     reduce_fn=lambda a, b: jnp.maximum(a, b),
+                     init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32))
         # native: mirror nn.Conv's dtype promotion (inputs & params promote)
         dtype = jnp.promote_types(x.dtype, kernel.dtype)
         dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
