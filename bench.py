@@ -58,7 +58,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_jax_pipeline(dtype="float32", conv_mode="native"):
+def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
+                       autoregressive=False):
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +86,36 @@ def build_jax_pipeline(dtype="float32", conv_mode="native"):
         # mantissa butchers, and the forecaster is <0.1% of pipeline FLOPs
         vae_vars = jax.tree_util.tree_map(lambda a: a.astype(jdtype), vae_vars)
 
+    if conv_mode == "int8_static":
+        # post-training calibration: per-conv per-input-channel abs-max over
+        # the serving batch, folded into the weights at compile time
+        # (ops/quant.py::int8_conv_static). Stats are recorded at fp32.
+        from weatherforecastingtoolkit_tpu.ops.quant import calibrate
+
+        assert calib_frames is not None, "int8_static needs calib_frames"
+        cvae = AutoencoderKL(in_channels=1, out_channels=1,
+                             block_out_channels=VAE_CHANNELS,
+                             layers_per_block=1, latent_channels=LATENT_C,
+                             norm_num_groups=NORM_GROUPS,
+                             conv_mode="calibrate")
+        cvars = vae.init(rng, frame)  # fp32 copy of the same params
+
+        @jax.jit
+        def _calib_step(v, frames):
+            post, mut = cvae.apply(v, _flatten_frames(frames),
+                                   method=cvae.encode, mutable=["qstats"])
+            _, mut2 = cvae.apply({**{k: v[k] for k in ("params",)},
+                                  "qstats": mut["qstats"]},
+                                 post.mode(), method=cvae.decode,
+                                 mutable=["qstats"])
+            return None, mut2
+
+        def _flatten_frames(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        qscales = calibrate(_calib_step, cvars, [calib_frames])
+        vae_vars = {**vae_vars, "qscales": jax.device_get(qscales)}
+
     def encode_apply(frames):
         return vae.apply(vae_vars, frames.astype(jdtype),
                          method=vae.encode).mode().astype(jnp.float32)
@@ -96,7 +127,7 @@ def build_jax_pipeline(dtype="float32", conv_mode="native"):
     pipeline = make_forecast_pipeline(
         encode_apply=encode_apply, decode_apply=decode_apply,
         forecaster_apply=lambda p, z: forecaster.apply(p, z),
-        input_frames=T_IN, pred_frames=T_OUT)
+        input_frames=T_IN, pred_frames=T_OUT, autoregressive=autoregressive)
     return jax.jit(pipeline), fc_vars
 
 
@@ -171,12 +202,13 @@ def bench_jax():
     fps16 = BATCH * T_OUT / t16
     log(f"bf16: compile {c16:.1f}s, median {t16*1000:.1f} ms -> {fps16:.1f} frames/s")
 
-    log("compiling int8 rollout pipeline (W8A8 convs on the MXU) ...")
+    log("compiling int8_static rollout pipeline (calibrated W8A8 convs) ...")
     try:
-        pipe8, fc8 = build_jax_pipeline("bfloat16", conv_mode="int8")
+        pipe8, fc8 = build_jax_pipeline("bfloat16", conv_mode="int8_static",
+                                        calib_frames=frames)
         t8, c8, out8 = _time_pipeline(pipe8, fc8, frames)
         fps8 = BATCH * T_OUT / t8
-        log(f"int8: compile {c8:.1f}s, median {t8*1000:.1f} ms "
+        log(f"int8_static: compile {c8:.1f}s, median {t8*1000:.1f} ms "
             f"-> {fps8:.1f} frames/s")
     except Exception as e:  # noqa: BLE001 — experimental path must not kill
         log(f"int8 pipeline unavailable ({type(e).__name__}: {e}); skipping")
@@ -207,10 +239,30 @@ def bench_jax():
     if mfu is not None:
         log(f"rollout: {flops/1e9:.1f} GFLOP, {nbytes/1e9:.2f} GB accessed "
             f"-> MFU {mfu*100:.1f}%, HBM-BW {bwu*100:.1f}% of peak")
+
+    # the scan-autoregressive variant (BASELINE.json's north-star phrasing):
+    # sliding latent window, one forecast step per scan iteration
+    log("compiling autoregressive (scan) rollout variant ...")
+    try:
+        pipe_ar, fc_ar = build_jax_pipeline("bfloat16", autoregressive=True)
+        t_ar, c_ar, out_ar = _time_pipeline(pipe_ar, fc_ar, frames)
+        fps_ar = BATCH * T_OUT / t_ar
+        s_ar = float(_ssim(np.asarray(out16).reshape(-1, 1, HW, HW),
+                           np.asarray(out_ar).reshape(-1, 1, HW, HW)))
+        log(f"autoregressive: compile {c_ar:.1f}s, median {t_ar*1000:.1f} ms "
+            f"-> {fps_ar:.1f} frames/s, SSIM vs one-shot {s_ar:.5f}")
+    except Exception as e:  # noqa: BLE001
+        log(f"autoregressive variant failed: {type(e).__name__}: {e}")
+        fps_ar = s_ar = None
+
     return fps, mfu, bwu, {
         "int8_frames_per_sec": round(fps8, 2) if fps8 is not None else None,
         "int8_ssim_vs_fp32": round(s8, 5) if s8 is not None else None,
-        "bf16_ssim_vs_fp32": round(s16, 5)}
+        "bf16_ssim_vs_fp32": round(s16, 5),
+        "autoregressive_frames_per_sec": (round(fps_ar, 2)
+                                          if fps_ar is not None else None),
+        "autoregressive_ssim_vs_oneshot": (round(s_ar, 5)
+                                           if s_ar is not None else None)}
 
 
 def bench_train():
@@ -245,27 +297,29 @@ def bench_train():
     batch = {"vil": jax.device_put(
         np.random.default_rng(0).random((B, T, 1, HW, HW), np.float32))}
 
-    def measure(mixed):
+    def measure(mixed, batch_frames=None, tag=None):
+        this_batch = batch if batch_frames is None else batch_frames
+        bsz, tsz = this_batch["vil"].shape[:2]
         task = build_task(mixed)
         params = task.init_params(rng)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=tx.init(params), rng=rng,
                            extra=task.init_extra(rng, params))
-        if not mixed:
+        if not mixed and batch_frames is None:
             n_params = sum(int(np.prod(p.shape))
                            for p in jax.tree_util.tree_leaves(params))
             log(f"train bench: PosAwareAE {n_params/1e6:.1f}M params + "
                 f"PatchGAN, batch {B}x{T} frames of {HW}^2")
+        tag = tag or ("bf16" if mixed else "fp32")
         step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
         t0 = time.time()
-        state, aux = step(state, batch)
+        state, aux = step(state, this_batch)
         jax.block_until_ready(state.params)
-        log(f"train step ({'bf16' if mixed else 'fp32'}) compiled in "
-            f"{time.time()-t0:.1f}s")
+        log(f"train step ({tag}) compiled in {time.time()-t0:.1f}s")
         times = []
         for _ in range(10):
             t0 = time.time()
-            state, aux = step(state, batch)
+            state, aux = step(state, this_batch)
             # host read-back of a step-dependent scalar: the only reliable
             # sync on the axon backend (block_until_ready can return once
             # the remote execution is scheduled, not finished)
@@ -273,18 +327,37 @@ def bench_train():
             times.append(time.time() - t0)
         t_step = float(np.median(times))
         sps = 1.0 / t_step
-        log(f"train {'bf16' if mixed else 'fp32'}: {t_step*1000:.1f} ms/step "
-            f"-> {sps:.2f} steps/s ({sps * B * T:.1f} frames/s), "
-            f"loss {float(aux['loss']):.4f}")
-        return sps
+        # training roofline: XLA cost model over the WHOLE train step
+        # (fwd + bwd + both optimizers). The MXU runs fp32 matmuls through
+        # the same unit as bf16 on v5e, so both are scored against the bf16
+        # peak — MFU here means "fraction of the chip's matmul ceiling".
+        flops, nbytes = _xla_cost(step, state, this_batch)
+        mfu, bwu = _utilization(flops, nbytes, t_step)
+        util = ("" if mfu is None else
+                f", MFU {mfu*100:.1f}% HBM-BW {bwu*100:.1f}%")
+        log(f"train {tag}: {t_step*1000:.1f} ms/step "
+            f"-> {sps:.2f} steps/s ({sps * bsz * tsz:.1f} frames/s), "
+            f"loss {float(aux['loss']):.4f}{util}")
+        return sps, mfu
 
-    sps32 = measure(False)
+    sps32, mfu32 = measure(False)
     try:
-        sps16 = measure(True)  # bf16 mixed precision (ops/amp.py)
+        sps16, mfu16 = measure(True)  # bf16 mixed precision (ops/amp.py)
     except Exception as e:  # noqa: BLE001
         log(f"mixed-precision train bench failed: {type(e).__name__}: {e}")
-        sps16 = None
-    return sps32, sps16
+        sps16 = mfu16 = None
+    # batch sweep (bf16): where does steps/s saturate? (keep per-step frame
+    # count growing by 2x; 4x4 is the reference's canonical 16-frame step)
+    sweep = {}
+    for bsz in (8, 16):
+        try:
+            big = {"vil": jax.device_put(np.random.default_rng(0).random(
+                (bsz, T, 1, HW, HW), np.float32))}
+            sps_b, _ = measure(True, batch_frames=big, tag=f"bf16 B={bsz}x{T}")
+            sweep[f"gan_train_bf16_steps_per_sec_b{bsz}"] = round(sps_b, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"train batch sweep b={bsz} failed: {type(e).__name__}: {e}")
+    return sps32, sps16, mfu32, mfu16, sweep
 
 
 def bench_torch_reference():
@@ -387,12 +460,19 @@ def get_baseline_fps():
 def main():
     fps, mfu, bwu, extra = bench_jax()
     try:
-        train_sps, train_sps_bf16 = bench_train()
+        (train_sps, train_sps_bf16, train_mfu32, train_mfu16,
+         train_sweep) = bench_train()
     except Exception as e:  # noqa: BLE001 — keep the headline JSON line alive
         log(f"train bench failed: {type(e).__name__}: {e}")
-        train_sps, train_sps_bf16 = None, None
+        train_sps = train_sps_bf16 = train_mfu32 = train_mfu16 = None
+        train_sweep = {}
     if train_sps_bf16 is not None:
         extra["gan_train_bf16_steps_per_sec"] = round(train_sps_bf16, 2)
+    if train_mfu32 is not None:
+        extra["gan_train_mfu_fp32"] = round(train_mfu32, 4)
+    if train_mfu16 is not None:
+        extra["gan_train_mfu_bf16"] = round(train_mfu16, 4)
+    extra.update(train_sweep)
     baseline = get_baseline_fps()
     out = {
         "metric": "sevirlr_12step_rollout_frames_per_sec",

@@ -52,7 +52,7 @@ def small_train():
     step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
     batch = {{"vil": np.zeros((B, T, 1, HW, HW), np.float32)}}
     state, aux = step(state, batch)
-    return 1.0, 2.0
+    return 1.0, 2.0, 0.5, 0.6, {{"gan_train_bf16_steps_per_sec_b8": 3.0}}
 
 bench.bench_train = small_train
 bench.main()
@@ -81,4 +81,9 @@ def test_bench_json_contract(tmp_path):
     assert "mfu" in payload and "hbm_bw_util" in payload
     assert payload["gan_train_steps_per_sec"] == 1.0
     assert payload["gan_train_bf16_steps_per_sec"] == 2.0
+    assert payload["gan_train_mfu_fp32"] == 0.5
+    assert payload["gan_train_mfu_bf16"] == 0.6
+    assert payload["gan_train_bf16_steps_per_sec_b8"] == 3.0
     assert "int8_frames_per_sec" in payload and "int8_ssim_vs_fp32" in payload
+    assert "autoregressive_frames_per_sec" in payload
+    assert "autoregressive_ssim_vs_oneshot" in payload
