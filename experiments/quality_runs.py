@@ -128,7 +128,8 @@ def run_earthformer(args):
                                  args.batch)
     model = Earthformer(t_in=t_in, t_out=t_out, in_channels=1, patch=8,
                         dim=128, depth=4, num_heads=4, window=(4, 4),
-                        residual_out=True)
+                        residual_out=True, hierarchy=args.ef_hierarchy,
+                        global_tokens=args.ef_global_tokens)
     params = model.init(jax.random.key(0),
                         jnp.zeros((1, t_in, 1, args.img_size, args.img_size)))
     n_par = sum(int(np.prod(p.shape))
@@ -342,6 +343,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--t-in", type=int, default=8)
     p.add_argument("--t-out", type=int, default=5)
+    p.add_argument("--ef-hierarchy", type=int, default=2,
+                   help="earthformer: 2 = hierarchical encoder-decoder "
+                        "(patch-merge coarse stage), 1 = flat (round-2 config)")
+    p.add_argument("--ef-global-tokens", type=int, default=8,
+                   help="earthformer: G global vectors threading every "
+                        "cuboid block (0 = off, round-2 config)")
     args = p.parse_args(argv)
 
     wins = {}

@@ -13,6 +13,13 @@ Design (faithful to the cuboid idea, shaped for XLA):
     (the shift gives cross-cuboid information flow, Swin-style) — each block
     is a dense batched attention over fixed-size cuboids, which XLA fuses
     onto the MXU with zero dynamic shapes;
+  * `global_tokens=G` enables Earthformer's signature GLOBAL VECTORS: every
+    cuboid's keys/values are extended with G learned global tokens, and the
+    globals cross-attend back over the full token field each block — global
+    information flow without global attention cost;
+  * `hierarchy=2` enables the hierarchical encoder-decoder: half the blocks
+    run on a 2x2 patch-merged coarse grid at double width, expanded back and
+    fused with a fine-scale skip (the paper's UNet-style cuboid stack);
   * learned horizon queries cross-attend per spatial site over the input
     time axis to emit T_out frames; transposed-conv unpatchify + sigmoid.
 
@@ -48,7 +55,13 @@ def _window_merge(x: jnp.ndarray, b: int, t: int, h: int, w: int,
 
 
 class CuboidBlock(nn.Module):
-    """Pre-LN cuboid attention + FFN; optional half-window shift."""
+    """Pre-LN cuboid attention + FFN; optional half-window shift.
+
+    With global vectors (the signature Earthformer mechanism, its paper §3.2):
+    every cuboid's keys/values are extended with G learned global tokens, and
+    the globals in turn cross-attend over the FULL token field — long-range
+    information flows through the globals in one block instead of needing
+    log(HW) shifted layers."""
 
     dim: int
     num_heads: int
@@ -56,8 +69,9 @@ class CuboidBlock(nn.Module):
     shifted: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, T, H, W, D)."""
+    def __call__(self, x: jnp.ndarray, g: jnp.ndarray = None):
+        """x: (B, T, H, W, D); g: optional (B, G, D) global vectors.
+        Returns x' (and g' when g is given)."""
         b, t, h, w, d = x.shape
         wh, ww = self.window
         sh, sw = (wh // 2, ww // 2) if self.shifted else (0, 0)
@@ -67,7 +81,17 @@ class CuboidBlock(nn.Module):
         if sh or sw:
             hdn = jnp.roll(hdn, (-sh, -sw), axis=(2, 3))
         tokens = _window_partition(hdn, wh, ww)
-        tokens = SelfAttention(self.dim, self.num_heads, name="attn")(tokens)
+        if g is not None:
+            # cuboids read the globals: KV = [cuboid tokens ; globals]
+            n_win = tokens.shape[0] // b
+            gn = nn.LayerNorm(name="g_norm")(g)
+            gk = jnp.repeat(gn, n_win, axis=0)            # (B*nWin, G, D)
+            kv = jnp.concatenate([tokens, gk], axis=1)
+            tokens = CrossAttention(self.dim, self.dim, self.num_heads,
+                                    name="attn")(tokens, kv)
+        else:
+            tokens = SelfAttention(self.dim, self.num_heads,
+                                   name="attn")(tokens)
         hdn = _window_merge(tokens, b, t, h, w, wh, ww)
         if sh or sw:
             hdn = jnp.roll(hdn, (sh, sw), axis=(2, 3))
@@ -77,7 +101,48 @@ class CuboidBlock(nn.Module):
         hdn = nn.Dense(4 * self.dim)(hdn)
         hdn = nn.gelu(hdn)
         hdn = nn.Dense(self.dim)(hdn)
-        return x + hdn
+        x = x + hdn
+
+        if g is None:
+            return x
+        # globals read the whole field, then mix (pre-LN + FFN)
+        field = x.reshape(b, t * h * w, d)
+        g = g + CrossAttention(self.dim, self.dim, self.num_heads,
+                               name="g_attn")(nn.LayerNorm(name="g_norm2")(g),
+                                              field)
+        gf = nn.LayerNorm(name="g_norm3")(g)
+        gf = nn.Dense(4 * self.dim, name="g_ffn1")(gf)
+        gf = nn.gelu(gf)
+        g = g + nn.Dense(self.dim, name="g_ffn2")(gf)
+        return x, g
+
+
+class PatchMerge(nn.Module):
+    """2x2 spatial merge -> wider channels (hierarchical downsample)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, h, w, d = x.shape
+        x = x.reshape(b, t, h // 2, 2, w // 2, 2, d)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, w // 2,
+                                                     4 * d)
+        return nn.Dense(self.out_dim, name="merge")(nn.LayerNorm()(x))
+
+
+class PatchExpand(nn.Module):
+    """2x upsample (depth-to-space) -> narrower channels."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, h, w, d = x.shape
+        x = nn.Dense(4 * self.out_dim, name="expand")(nn.LayerNorm()(x))
+        x = x.reshape(b, t, h, w, 2, 2, self.out_dim)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+        return x.reshape(b, t, 2 * h, 2 * w, self.out_dim)
 
 
 class Earthformer(nn.Module):
@@ -93,6 +158,11 @@ class Earthformer(nn.Module):
     window: Tuple[int, int] = (4, 4)
     sigmoid_head: bool = True
     residual_out: bool = False  # predict deltas off the persistence frame
+    hierarchy: int = 1          # 2 = hierarchical encoder-decoder: half the
+    # blocks run on a 2x2-patch-merged coarse grid at 2x width, expanded back
+    # and fused with a skip (Earthformer's hierarchical UNet structure)
+    global_tokens: int = 0      # G>0 threads G learned global vectors through
+    # every encoder cuboid block (Earthformer's signature mechanism)
 
     @nn.compact
     def __call__(self, frames: jnp.ndarray, deterministic: bool = True
@@ -108,9 +178,42 @@ class Earthformer(nn.Module):
         x = x + self.param("st_pos", nn.initializers.normal(0.02),
                            (1, self.t_in, gh, gw, self.dim))
 
-        for i in range(self.depth):
-            x = CuboidBlock(self.dim, self.num_heads, self.window,
-                            shifted=bool(i % 2), name=f"cuboid_{i}")(x)
+        g = None
+        if self.global_tokens > 0:
+            g = jnp.broadcast_to(
+                self.param("global_init", nn.initializers.normal(0.02),
+                           (1, self.global_tokens, self.dim)),
+                (b, self.global_tokens, self.dim))
+
+        def run(x, g, dim, heads, depth, window, prefix):
+            for i in range(depth):
+                blk = CuboidBlock(dim, heads, window, shifted=bool(i % 2),
+                                  name=f"{prefix}{i}")
+                if g is not None:
+                    x, g = blk(x, g)
+                else:
+                    x = blk(x)
+            return x, g
+
+        if self.hierarchy <= 1:
+            x, g = run(x, g, self.dim, self.num_heads, self.depth,
+                       self.window, "cuboid_")
+        else:
+            d_fine = max(1, self.depth // 2)
+            d_coarse = max(1, self.depth - d_fine)
+            x, g = run(x, g, self.dim, self.num_heads, d_fine, self.window,
+                       "cuboid_")
+            skip = x
+            x = PatchMerge(2 * self.dim, name="down")(x)
+            g = (nn.Dense(2 * self.dim, name="g_down")(g)
+                 if g is not None else None)
+            cw = (min(self.window[0], x.shape[2]),
+                  min(self.window[1], x.shape[3]))
+            x, g = run(x, g, 2 * self.dim, 2 * self.num_heads, d_coarse, cw,
+                       "coarse_")
+            x = PatchExpand(self.dim, name="up")(x)
+            x = nn.Dense(self.dim, name="fuse")(
+                jnp.concatenate([x, skip], axis=-1))
 
         # horizon readout: per spatial site, T_out queries attend over T_in
         q = self.param("horizon_queries", nn.initializers.normal(0.02),
