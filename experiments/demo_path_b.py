@@ -121,6 +121,20 @@ def main(argv=None):
                    help="latent-MSE anchor term during the e2e fine-tune")
     p.add_argument("--eval-every", type=int, default=200,
                    help="keep-best evaluation cadence in stage 2c")
+    p.add_argument("--forecaster", default="dlinear",
+                   choices=["dlinear", "token_vit", "earthformer"],
+                   help="latent forecaster family: dlinear (the reference's, "
+                        "ae_s2/train.py:86-133), token_vit (factorized "
+                        "time/space attention over latent-grid tokens, the "
+                        "README.md:96-109 proposal), or earthformer "
+                        "(pixel-space, no VAE — quality_runs' model in the "
+                        "demo protocol)")
+    p.add_argument("--eval-autoregressive", action="store_true",
+                   help="also evaluate the jax.lax.scan sliding-window "
+                        "autoregressive rollout vs the one-shot forecast")
+    p.add_argument("--fc-lr", type=float, default=None,
+                   help="stage-2 forecaster peak LR (default: 1e-3 for "
+                        "dlinear, 5e-4 for the token_vit transformer)")
     args = p.parse_args(argv)
     blocks = tuple(int(c) for c in args.blocks.split(","))
 
@@ -163,6 +177,10 @@ def main(argv=None):
     print(f"[data] {dm.num_train_samples} train windows, "
           f"{len(sel_batches)}/{len(rep_batches)} selection/report eval batches")
 
+    if args.forecaster == "earthformer":
+        # pixel-space branch: no VAE, no latent stages — same data + protocol
+        return run_earthformer_branch(args, dm, sel_batches, rep_batches)
+
     # ------------------------------------------------------------ models
     vae = AutoencoderKL(in_channels=1, out_channels=1,
                         block_out_channels=blocks,
@@ -174,7 +192,15 @@ def main(argv=None):
     n_down = len(blocks) - 1
     lat_hw = hw // (2 ** n_down)
     d = args.latent_ch * lat_hw * lat_hw
-    fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
+    if args.forecaster == "token_vit":
+        from weatherforecastingtoolkit_tpu.models.token_forecaster import (
+            LatentTokenForecaster)
+        fc = LatentTokenForecaster(
+            t_in=args.t_in, t_out=args.t_out,
+            latent_shape=(args.latent_ch, lat_hw, lat_hw), d_model=128,
+            num_heads=8, depth=2)
+    else:
+        fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
     fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
 
     thresholds = jnp.asarray(VIL_THRESHOLDS[:5])  # headline CSI thresholds
@@ -362,10 +388,11 @@ def main(argv=None):
                                     recon_pairs)
         evaluate("stage1b", vae_vars, fc_vars, rep_batches)
 
-    # ----------------------------------------- stage 2: train DLinear on latents
+    # ------------------------------- stage 2: train the forecaster on latents
+    fc_lr = args.fc_lr or (5e-4 if args.forecaster == "token_vit" else 1e-3)
     warm_fc = max(1, min(30, args.steps_fc // 10))
     fc_tx = optax.adamw(optax.warmup_cosine_decay_schedule(
-        1e-4, 1e-3, warm_fc, args.steps_fc + warm_fc + 1, 1e-6),
+        fc_lr * 0.1, fc_lr, warm_fc, args.steps_fc + warm_fc + 1, 1e-6),
         weight_decay=0.0)
     fc_opt = fc_tx.init(fc_vars)
 
@@ -479,6 +506,110 @@ def main(argv=None):
           f"metrics (report split)")
     print("(vae-ceiling = metrics of encode->decode roundtrip of the target "
           "frames: the autoencoder's upper bound for ANY latent forecaster)")
+
+    # ------------- optional: the scan-autoregressive rollout, same metrics
+    if args.eval_autoregressive:
+        from weatherforecastingtoolkit_tpu.models.rollout import (
+            make_forecast_pipeline)
+
+        def encode_apply(frames):
+            return vae.apply(vae_vars, frames, method=vae.encode).mode()
+
+        def decode_apply(latents):
+            return vae.apply(vae_vars, latents.reshape(
+                (-1, args.latent_ch, lat_hw, lat_hw)), method=vae.decode)
+
+        ar = jax.jit(make_forecast_pipeline(
+            encode_apply=encode_apply, decode_apply=decode_apply,
+            forecaster_apply=lambda p, z: fc.apply(p, z),
+            input_frames=args.t_in, pred_frames=args.t_out,
+            autoregressive=True))
+        sums_ar = {}
+        for seq in rep_batches:
+            pred = ar(fc_vars, seq[:, :args.t_in])
+            tgt = seq[:, args.t_in:args.t_in + args.t_out]
+            for k, v in calc_metrics(pred, tgt).items():
+                sums_ar[k] = sums_ar.get(k, 0.0) + float(v)
+        ar_m = {k: v / len(rep_batches) for k, v in sums_ar.items()}
+        ar_wins, _ = wins_and_score(ar_m, persist_m)
+        print(f"\n[autoregressive] {'metric':<22}{'scan-AR':>10}"
+              f"{'one-shot':>10}{'persistence':>13}")
+        for k in HEADLINE:
+            print(f"[autoregressive] {k:<22}{ar_m[k]:>10.4f}"
+                  f"{model_m[k]:>10.4f}{persist_m[k]:>13.4f}")
+        print(f"[autoregressive] AR beats persistence on {ar_wins}/5; "
+              "one-shot is the trained horizon (AR re-uses only step 1 of "
+              "each forecast)", flush=True)
+    return wins
+
+
+def run_earthformer_branch(args, dm, sel_batches, rep_batches):
+    """Pixel-space Earthformer in the demo protocol (no VAE): trained with
+    the quality_runs recipe (MSE + differentiable SSIM + physics prior,
+    persistence-residual head), evaluated on the same held-out splits."""
+    from weatherforecastingtoolkit_tpu.models.earthformer import Earthformer
+    from weatherforecastingtoolkit_tpu.ops.pallas.stencil import (
+        advection_diffusion_prior)
+    from weatherforecastingtoolkit_tpu.ops.ssim import ssim as _dssim
+
+    t_in, t_out = args.t_in, args.t_out
+    steps = args.steps_fc + args.steps_e2e  # same total budget as the
+    # latent pipeline's forecaster stages
+    model = Earthformer(t_in=t_in, t_out=t_out, in_channels=1, patch=8,
+                        dim=128, depth=4, num_heads=4, window=(4, 4),
+                        residual_out=True)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, t_in, 1, args.img_size, args.img_size)))
+    warm = max(1, steps // 10)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(
+        optax.warmup_cosine_decay_schedule(1e-5, 5e-4, warm, steps + warm + 1,
+                                           1e-6), weight_decay=0.01))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt, batch):
+        x = batch["vil"]
+        fi, gt = x[:, :t_in], x[:, t_in:t_in + t_out]
+
+        def loss_fn(p):
+            pred = model.apply(p, fi)
+            mse = jnp.mean((pred - gt) ** 2)
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+            s = _dssim(flat(pred), flat(gt))
+            prior = advection_diffusion_prior(
+                pred, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.05))
+            return mse + 0.02 * (1.0 - s) + 1e-3 * prior
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    it = loop(dm.train_loader())
+    t0 = time.time()
+    for step in range(steps):
+        params, opt, loss = step_fn(params, opt, next(it))
+        if step % 100 == 0:
+            print(f"[earthformer] step {step} loss {float(loss):.5f}",
+                  flush=True)
+    print(f"[earthformer] trained {steps} steps in {time.time()-t0:.0f}s")
+
+    predict = jax.jit(lambda fi: model.apply(params, fi))
+    sums_m, sums_p = {}, {}
+    for seq in rep_batches:
+        fi = seq[:, :t_in]
+        tgt = seq[:, t_in:t_in + t_out]
+        for store, out in ((sums_m, predict(fi)),
+                           (sums_p, persistence_baseline(fi, t_out))):
+            for k, v in calc_metrics(out, tgt).items():
+                store[k] = store.get(k, 0.0) + float(v)
+    n = len(rep_batches)
+    model_m = {k: v / n for k, v in sums_m.items()}
+    persist_m = {k: v / n for k, v in sums_p.items()}
+    wins, score = wins_and_score(model_m, persist_m)
+    print(f"\n[final] {'metric':<22}{'model':>10}{'persistence':>13}")
+    for k in HEADLINE:
+        print(f"[final] {k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}")
+    print(f"\nmodel beats persistence on {wins}/{len(HEADLINE)} headline "
+          f"metrics (report split; pixel-space, no VAE ceiling)")
     return wins
 
 
