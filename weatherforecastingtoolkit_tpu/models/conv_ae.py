@@ -36,10 +36,15 @@ class PosAwareAE(nn.Module):
     decoder_tf_depth: int = 0    # >0 switches on the _tf variant behavior
     tf_heads: int = 8
     tf_ffn: int = 2048
+    remat: bool = False  # jax.checkpoint each Enc/DecBlock: recompute block
+    # activations in the backward pass instead of storing them (HBM capacity
+    # for FLOPs — the training batch is the throughput knob, RESULTS.md)
 
     def setup(self):
         hw, lc = self.latent_hw, self.latent_channels
-        self.enc_blocks = [EncBlock(c, self.num_blocks, self.groups)
+        enc_cls = nn.remat(EncBlock) if self.remat else EncBlock
+        dec_cls = nn.remat(DecBlock) if self.remat else DecBlock
+        self.enc_blocks = [enc_cls(c, self.num_blocks, self.groups)
                            for c in self.enc_channels]
         self.enc_out = nn.Conv(lc, (1, 1))
         self.pos_emb = self.param("pos_emb", nn.initializers.normal(1.0),
@@ -51,7 +56,7 @@ class PosAwareAE(nn.Module):
                 depth=self.decoder_tf_depth, dim=lc, num_heads=self.tf_heads,
                 ffn_dim=self.tf_ffn, dropout=0.1)
         self.dec_in = nn.Conv(self.dec_channels[0], (1, 1))
-        self.dec_blocks = [DecBlock(c, self.num_blocks, self.groups)
+        self.dec_blocks = [dec_cls(c, self.num_blocks, self.groups)
                            for c in self.dec_channels[1:]]
         self.dec_out = nn.Conv(self.in_channels, (3, 3), padding=1)
 

@@ -42,6 +42,9 @@ class AutoencoderKL(nn.Module):
     fused_norm: bool = False   # Pallas fused GroupNorm+SiLU (same params)
     conv_mode: str = "native"  # "int8" = quantized serving (ops/quant.py);
     # identical param tree, so fp32-trained checkpoints serve quantized as-is
+    remat: bool = False  # jax.checkpoint each enc/dec block: recompute
+    # activations in backward instead of storing (identical params + math;
+    # unlocks larger train batches on the bandwidth-bound GAN step)
 
     def setup(self):
         self.encoder = Encoder(
@@ -49,13 +52,15 @@ class AutoencoderKL(nn.Module):
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups, double_z=True,
-            fused_norm=self.fused_norm, conv_mode=self.conv_mode)
+            fused_norm=self.fused_norm, conv_mode=self.conv_mode,
+            remat=self.remat)
         self.decoder = Decoder(
             out_channels=self.out_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups,
-            fused_norm=self.fused_norm, conv_mode=self.conv_mode)
+            fused_norm=self.fused_norm, conv_mode=self.conv_mode,
+            remat=self.remat)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1))
 

@@ -67,6 +67,7 @@ class CustomAutoencoderKL(nn.Module):
     # (custom_akl.py:823-825,919-921 — the stride-4 stacked resamplers of
     # custom_akl.py:131-206). None -> all 2x (the shipped reference default).
     scales: Optional[Sequence[int]] = None
+    remat: bool = False  # jax.checkpoint each enc/dec block (training memory)
 
     def setup(self):
         # encoder downsamples after blocks 0..n-2 with scales[i]; the decoder
@@ -80,13 +81,13 @@ class CustomAutoencoderKL(nn.Module):
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups, double_z=True,
-            scales=self.scales)
+            scales=self.scales, remat=self.remat)
         self.decoder = Decoder(
             out_channels=self.out_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups,
-            scales=dec_scales)
+            scales=dec_scales, remat=self.remat)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1))
         self.to_timeseries = nn.Dense(self.timeseries_dim)
