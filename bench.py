@@ -59,7 +59,7 @@ def log(msg):
 
 
 def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
-                       autoregressive=False):
+                       autoregressive=False, vae_kwargs=None):
     import jax
     import jax.numpy as jnp
 
@@ -67,10 +67,12 @@ def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
     from weatherforecastingtoolkit_tpu.models.rollout import make_forecast_pipeline
     from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL
 
-    vae = AutoencoderKL(in_channels=1, out_channels=1,
-                        block_out_channels=VAE_CHANNELS, layers_per_block=1,
-                        latent_channels=LATENT_C, norm_num_groups=NORM_GROUPS,
-                        conv_mode=conv_mode)
+    kw = dict(in_channels=1, out_channels=1,
+              block_out_channels=VAE_CHANNELS, layers_per_block=1,
+              latent_channels=LATENT_C, norm_num_groups=NORM_GROUPS,
+              conv_mode=conv_mode)
+    kw.update(vae_kwargs or {})
+    vae = AutoencoderKL(**kw)
     d = LATENT_C * LATENT_HW * LATENT_HW
     forecaster = DLinear(seq_len=T_IN, pred_len=T_OUT, kernel_size=25)
 

@@ -88,6 +88,39 @@ def wins_and_score(model_m, persist_m):
     return wins, score
 
 
+def save_forecast_panel(path, target, pred, persist, sample=0):
+    """Write a VIL-colormap forecast panel (the reference's assets/ Path-B
+    panel artifact): rows target / model / persistence / |target-model|,
+    one column per forecast step. Arrays are (B, T, 1, H, W) in [0, 1]."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from weatherforecastingtoolkit_tpu.data.colormap import vil_cmap
+
+    tgt, prd, per = (np.clip(a[sample, :, 0], 0, 1) * 255
+                     for a in (target, pred, persist))
+    diff = np.abs(tgt - prd)
+    cmap, norm, _, _ = vil_cmap()
+    t_total = tgt.shape[0]
+    fig, axes = plt.subplots(4, t_total, figsize=(2 * t_total, 8),
+                             squeeze=False)
+    rows = ((tgt, dict(cmap=cmap, norm=norm), "target"),
+            (prd, dict(cmap=cmap, norm=norm), "model"),
+            (per, dict(cmap=cmap, norm=norm), "persistence"),
+            (diff, dict(cmap="Reds", vmin=0, vmax=255), "|target-model|"))
+    for row, (imgs, kw, title) in enumerate(rows):
+        for t in range(t_total):
+            ax = axes[row, t]
+            ax.imshow(imgs[t].astype(np.uint8), **kw)
+            ax.set_title(f"{title} t+{t + 1}", fontsize=7)
+            ax.axis("off")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--img-size", type=int, default=64)
@@ -135,6 +168,20 @@ def main(argv=None):
     p.add_argument("--fc-lr", type=float, default=None,
                    help="stage-2 forecaster peak LR (default: 1e-3 for "
                         "dlinear, 5e-4 for the token_vit transformer)")
+    p.add_argument("--fc-dim", type=int, default=128,
+                   help="token_vit d_model (capacity knob)")
+    p.add_argument("--fc-depth", type=int, default=2,
+                   help="token_vit blocks per (time, space) stage")
+    p.add_argument("--vae-unshuffle", type=int, default=1,
+                   help=">1: the pixel-unshuffle fast serving VAE (lossless "
+                        "space-to-depth stem; no conv at full res). Keep "
+                        "latent_ch*lat_hw^2 = 2048 when comparing, e.g. "
+                        "--vae-unshuffle 4 --blocks 128,256 --latent-ch 32")
+    p.add_argument("--save-panel", default=None, metavar="PATH",
+                   help="write a VIL-colormap forecast panel PNG "
+                        "(target/model/persistence/absdiff x T) of the "
+                        "first report batch — the reference's assets/"
+                        "pathb panel artifact, regenerated per run")
     args = p.parse_args(argv)
     blocks = tuple(int(c) for c in args.blocks.split(","))
 
@@ -185,20 +232,21 @@ def main(argv=None):
     vae = AutoencoderKL(in_channels=1, out_channels=1,
                         block_out_channels=blocks,
                         layers_per_block=1, latent_channels=args.latent_ch,
-                        norm_num_groups=8)
+                        norm_num_groups=8,
+                        pixel_unshuffle=args.vae_unshuffle)
     rng = jax.random.key(0)
     hw = args.img_size
     vae_vars = vae.init(rng, jnp.zeros((1, 1, hw, hw)))
     n_down = len(blocks) - 1
-    lat_hw = hw // (2 ** n_down)
+    lat_hw = hw // (args.vae_unshuffle * 2 ** n_down)
     d = args.latent_ch * lat_hw * lat_hw
     if args.forecaster == "token_vit":
         from weatherforecastingtoolkit_tpu.models.token_forecaster import (
             LatentTokenForecaster)
         fc = LatentTokenForecaster(
             t_in=args.t_in, t_out=args.t_out,
-            latent_shape=(args.latent_ch, lat_hw, lat_hw), d_model=128,
-            num_heads=8, depth=2)
+            latent_shape=(args.latent_ch, lat_hw, lat_hw),
+            d_model=args.fc_dim, num_heads=8, depth=args.fc_depth)
     else:
         fc = DLinear(seq_len=args.t_in, pred_len=args.t_out, kernel_size=25)
     fc_vars = fc.init(jax.random.key(1), jnp.zeros((1, args.t_in, d)))
@@ -506,6 +554,13 @@ def main(argv=None):
           f"metrics (report split)")
     print("(vae-ceiling = metrics of encode->decode roundtrip of the target "
           "frames: the autoencoder's upper bound for ANY latent forecaster)")
+
+    if args.save_panel:
+        pred, persist, _, target = _eval_batch(vae_vars, fc_vars,
+                                               rep_batches[0])
+        save_forecast_panel(args.save_panel, np.asarray(target),
+                            np.asarray(pred), np.asarray(persist))
+        print(f"[final] forecast panel written to {args.save_panel}")
 
     # ------------- optional: the scan-autoregressive rollout, same metrics
     if args.eval_autoregressive:

@@ -108,3 +108,24 @@ def nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
 
 def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Lossless (N, H, W, C) -> (N, H/f, W/f, f*f*C) repack; channel index
+    (u*f + v)*C + c for subpixel (u, v). The TPU-first stem trick: moving
+    pixels into the channel (lane) dimension turns poorly-shaped full-res
+    convs into well-shaped ones at 1/f^2 the positions (measured rationale:
+    experiments/perf/space_to_depth.py)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // factor, w // factor, factor * factor * c)
+
+
+def depth_to_space(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    n, h, w, cf = x.shape
+    c = cf // (factor * factor)
+    x = x.reshape(n, h, w, factor, factor, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h * factor, w * factor, c)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..common import nchw_to_nhwc, nhwc_to_nchw
+from ..common import (depth_to_space, nchw_to_nhwc, nhwc_to_nchw,
+                      space_to_depth)
 from .distributions import DiagonalGaussianDistribution
 from .vae import Decoder, Encoder
 
@@ -45,33 +46,54 @@ class AutoencoderKL(nn.Module):
     remat: bool = False  # jax.checkpoint each enc/dec block: recompute
     # activations in backward instead of storing (identical params + math;
     # unlocks larger train batches on the bandwidth-bound GAN step)
+    pixel_unshuffle: int = 1  # >1: lossless space-to-depth stem — pack f x f
+    # pixels into channels before conv_in and unpack after conv_out, so NO
+    # conv ever runs at full resolution. The TPU-first serving redesign the
+    # s2d measurement motivates (experiments/perf/space_to_depth.py): the
+    # reference VAE's 64-channel full-res convs cap encoder MFU at 42%.
+    # Each factor-2 of unshuffle replaces one conv up/downsample stage, so
+    # pass fewer block_out_channels to keep the same latent geometry.
+    scales: Optional[Sequence[int]] = None  # per-block resample factor
+    # (2 or 4), forwarded to Encoder/Decoder (the custom_akl stacked-4x
+    # geometry, reference custom_akl.py:810-945)
 
     def setup(self):
+        f = self.pixel_unshuffle
+        dec_scales = None
+        if self.scales:
+            s = tuple(self.scales)
+            dec_scales = tuple(reversed(s[:-1])) + s[-1:]
         self.encoder = Encoder(
             out_channels=self.latent_channels,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups, double_z=True,
             fused_norm=self.fused_norm, conv_mode=self.conv_mode,
-            remat=self.remat)
+            remat=self.remat, scales=self.scales)
         self.decoder = Decoder(
-            out_channels=self.out_channels,
+            out_channels=self.out_channels * f * f,
             block_out_channels=self.block_out_channels,
             layers_per_block=self.layers_per_block,
             norm_num_groups=self.norm_num_groups,
             fused_norm=self.fused_norm, conv_mode=self.conv_mode,
-            remat=self.remat)
+            remat=self.remat, scales=dec_scales)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1))
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1))
 
     def encode(self, x: jnp.ndarray) -> DiagonalGaussianDistribution:
-        h = self.encoder(nchw_to_nhwc(x))
+        h = nchw_to_nhwc(x)
+        if self.pixel_unshuffle > 1:
+            h = space_to_depth(h, self.pixel_unshuffle)
+        h = self.encoder(h)
         moments = self.quant_conv(h)
         return DiagonalGaussianDistribution(nhwc_to_nchw(moments))
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         h = self.post_quant_conv(nchw_to_nhwc(z))
-        return nhwc_to_nchw(self.decoder(h))
+        h = self.decoder(h)
+        if self.pixel_unshuffle > 1:
+            h = depth_to_space(h, self.pixel_unshuffle)
+        return nhwc_to_nchw(h)
 
     def __call__(self, x: jnp.ndarray, sample_posterior: bool = False,
                  rng: Optional[jax.Array] = None,
