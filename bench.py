@@ -257,6 +257,23 @@ def bench_jax():
         log(f"autoregressive variant failed: {type(e).__name__}: {e}")
         fps_ar = s_ar = None
 
+    # the pixel-unshuffle fast serving VAE (a DIFFERENT architecture — its
+    # quality is evidenced end-to-end in the demo protocol where it BEATS the
+    # reference-shape pipeline on CSI-M/HSS, RESULTS.md round 3 — so it is
+    # reported, not SSIM-gated against the reference-shape fp32 output)
+    log("compiling fast-VAE (pixel_unshuffle=4) rollout variant ...")
+    try:
+        pipe_f, fc_f = build_jax_pipeline(
+            "bfloat16", vae_kwargs=dict(pixel_unshuffle=4,
+                                        block_out_channels=(128, 256, 512)))
+        t_f, c_f, _ = _time_pipeline(pipe_f, fc_f, frames)
+        fps_fast = BATCH * T_OUT / t_f
+        log(f"fast-VAE: compile {c_f:.1f}s, median {t_f*1000:.1f} ms "
+            f"-> {fps_fast:.1f} frames/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"fast-VAE variant failed: {type(e).__name__}: {e}")
+        fps_fast = None
+
     return fps, mfu, bwu, {
         "int8_frames_per_sec": round(fps8, 2) if fps8 is not None else None,
         "int8_ssim_vs_fp32": round(s8, 5) if s8 is not None else None,
@@ -264,7 +281,9 @@ def bench_jax():
         "autoregressive_frames_per_sec": (round(fps_ar, 2)
                                           if fps_ar is not None else None),
         "autoregressive_ssim_vs_oneshot": (round(s_ar, 5)
-                                           if s_ar is not None else None)}
+                                           if s_ar is not None else None),
+        "fast_vae_frames_per_sec": (round(fps_fast, 2)
+                                    if fps_fast is not None else None)}
 
 
 def bench_train():

@@ -87,3 +87,4 @@ def test_bench_json_contract(tmp_path):
     assert "int8_frames_per_sec" in payload and "int8_ssim_vs_fp32" in payload
     assert "autoregressive_frames_per_sec" in payload
     assert "autoregressive_ssim_vs_oneshot" in payload
+    assert "fast_vae_frames_per_sec" in payload
