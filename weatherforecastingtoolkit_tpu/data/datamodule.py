@@ -8,8 +8,9 @@ train/test split at `train_test_split_date`, random train/val split by
 date split (reference sevire/sevir.py:1240-1245) is available via
 `val_split_date`.
 
-Download helpers are stubs that raise with instructions (this image has no
-egress; the reference shelled out to `aws s3 cp`, sevir/sevir.py:930-977).
+Download helpers (`download_sevir`/`download_sevirlr`) are real: stdlib
+resumable HTTP against the public S3 buckets (data/download.py), replacing
+the reference's `aws s3 cp`/`wget` shell-outs (sevir/sevir.py:930-977).
 
 `use_cache=True` routes every split through the packed mmap cache
 (data/cache.py): `prepare_data` builds (or re-validates) one contiguous
@@ -53,18 +54,24 @@ class SubsetDataset:
             self.dataset.set_epoch(epoch)
 
 
-def download_sevir(save_dir: str) -> None:
-    raise RuntimeError(
-        "SEVIR auto-download is unavailable (no egress). Fetch with "
-        "`aws s3 cp --no-sign-request --recursive s3://sevir ...` and point "
-        "sevir_dir at the result.")
+def download_sevir(save_dir: str, **kw) -> str:
+    """Resumable anonymous-S3 fetch of SEVIR (see data/download.py).
+
+    Replaces the reference's ``aws s3 cp`` shell-out (sevir.py:937-956);
+    raises DownloadError with manual instructions when there is no egress.
+    """
+    from .download import download_sevir as _dl
+    return _dl(save_dir, **kw)
 
 
-def download_sevirlr(save_dir: str) -> None:
-    raise RuntimeError(
-        "SEVIR-LR auto-download is unavailable (no egress). Fetch "
-        "https://deep-earth.s3.amazonaws.com/datasets/sevir_lr.zip and unzip "
-        "into sevir_dir.")
+def download_sevirlr(save_dir: str, **kw) -> str:
+    """Resumable fetch + extract of sevir_lr.zip (see data/download.py).
+
+    Replaces the reference's ``wget``/``unzip``/``mv`` shell-out
+    (sevir.py:959-977), including the wrapper-folder flattening.
+    """
+    from .download import download_sevirlr as _dl
+    return _dl(save_dir, **kw)
 
 
 class SEVIRDataModule:
