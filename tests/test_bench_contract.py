@@ -70,7 +70,7 @@ def test_bench_json_contract(tmp_path):
     code = ("import jax; jax.config.update('jax_platforms', 'cpu')\n"
             + DRIVER.format(repo=REPO, cache=cache))
     result = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                            text=True, timeout=600, env=env, cwd=REPO)
+                            text=True, timeout=1200, env=env, cwd=REPO)
     assert result.returncode == 0, result.stderr[-3000:]
     line = result.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
@@ -88,3 +88,6 @@ def test_bench_json_contract(tmp_path):
     assert "autoregressive_frames_per_sec" in payload
     assert "autoregressive_ssim_vs_oneshot" in payload
     assert "fast_vae_frames_per_sec" in payload
+    assert "fast_vae_ssim_vs_own_fp32" in payload
+    assert "latency_ms_b1" in payload
+    assert "fast_vae_latency_ms_b1" in payload

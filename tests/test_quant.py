@@ -133,3 +133,104 @@ def test_autoencoder_int8_same_params_and_close_output(rng):
     dq = quant.apply(nv, z, method=quant.decode)  # NATIVE params, int8 math
     err = float(jnp.linalg.norm(dq - dn) / (jnp.linalg.norm(dn) + 1e-8))
     assert err < 0.15, err
+
+
+def test_fake_quant_matches_int8_static_forward(rng):
+    """QAT forward (fake_quant_conv) must reproduce the deployed
+    int8_static numerics — same scales, rounds, and clips — so what the
+    fine-tune optimizes is what serving runs. Only the accumulation dtype
+    differs (fp32 vs int32), exact here because the integer products are
+    small."""
+    from weatherforecastingtoolkit_tpu.ops.quant import (fake_quant_conv,
+                                                         int8_conv_static)
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.01)
+    absmax = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    got = fake_quant_conv(x, k, b, (1, 1), "SAME", absmax)
+    want = int8_conv_static(x, k, b, (1, 1), "SAME", absmax)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_fake_quant_ste_gradients(rng):
+    """STE gradients: finite, non-zero, and close to the native conv's
+    gradient direction (rounds are identity in the backward; the scale
+    plumbing cancels by the folding identity)."""
+    from weatherforecastingtoolkit_tpu.ops.quant import fake_quant_conv
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 4)).astype(np.float32) * 0.1)
+    absmax = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    tgt = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+
+    def loss_fq(kk):
+        return jnp.mean((fake_quant_conv(x, kk, None, (1, 1), "SAME", absmax)
+                         - tgt) ** 2)
+
+    def loss_native(kk):
+        dn = jax.lax.conv_dimension_numbers(x.shape, kk.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, kk, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+        return jnp.mean((y - tgt) ** 2)
+
+    g_fq = jax.grad(loss_fq)(k)
+    g_na = jax.grad(loss_native)(k)
+    assert np.isfinite(np.asarray(g_fq)).all()
+    assert float(jnp.linalg.norm(g_fq)) > 0
+    cos = float(jnp.vdot(g_fq, g_na)
+                / (jnp.linalg.norm(g_fq) * jnp.linalg.norm(g_na)))
+    assert cos > 0.95, cos
+
+
+def test_qat_reduces_int8_error(rng):
+    """The point of QAT: fine-tuning the small VAE under fake_quant against
+    the native model's own outputs (self-distillation) must shrink the
+    deployed int8_static-vs-native error."""
+    import optax
+
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import (
+        AutoencoderKL)
+    from weatherforecastingtoolkit_tpu.ops.quant import calibrate
+
+    kw = dict(in_channels=1, out_channels=1, block_out_channels=(16, 32),
+              layers_per_block=1, latent_channels=4, norm_num_groups=8)
+    native = AutoencoderKL(**kw)
+    calib = AutoencoderKL(conv_mode="calibrate", **kw)
+    fq = AutoencoderKL(conv_mode="fake_quant", **kw)
+    static = AutoencoderKL(conv_mode="int8_static", **kw)
+
+    x = jnp.asarray(rng.random((4, 1, 32, 32)).astype(np.float32))
+    nv = native.init(jax.random.key(0), x)
+    qscales = calibrate(
+        lambda v, b: calib.apply(v, b, mutable=["qstats"]), nv, [x])
+
+    target = native.apply(nv, x)
+
+    def err_static(params):
+        out = static.apply({"params": params, "qscales": qscales}, x)
+        return float(jnp.linalg.norm(out - target)
+                     / (jnp.linalg.norm(target) + 1e-8))
+
+    before = err_static(nv["params"])
+
+    tx = optax.adam(1e-4)
+    params = nv["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            out = fq.apply({"params": p, "qscales": qscales}, x)
+            return jnp.mean((out - target) ** 2)
+        g = jax.grad(loss)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    for _ in range(30):
+        params, opt_state = step(params, opt_state)
+
+    after = err_static(params)
+    assert after < before, (before, after)

@@ -20,6 +20,14 @@ IDENTICAL to nn.Conv, so existing checkpoints load unchanged and
 `mode="native"` reproduces nn.Conv numerics exactly. The bench's SSIM gate
 (bench.py) is the quality contract for the int8 path, as it is for bf16.
 
+Modes: "native" (nn.Conv numerics), "int8" (dynamic per-tensor activation
+scales), "calibrate" (native compute + sow per-input-channel abs-max into a
+'qstats' collection), "int8_static" (calibrated scales folded into the
+weights — the fast deployment path), and "fake_quant" (int8_static numerics
+in float math with straight-through-estimator gradients — quantization-aware
+fine-tuning so trained weights adapt to the int8 grid before deployment;
+`experiments/perf/int8_qat.py` is the end-to-end recipe).
+
 No reference counterpart (the reference serves fp32 torch,
 experiments/ae_s2/train.py:29-51); this is TPU-native serving capability.
 """
@@ -33,7 +41,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
-CONV_MODES = ("native", "int8", "int8_static", "calibrate")
+CONV_MODES = ("native", "int8", "int8_static", "calibrate", "fake_quant")
 
 
 def _as_pad(padding: Union[str, int, Sequence[Tuple[int, int]]], nd: int = 2):
@@ -127,6 +135,44 @@ def int8_conv_static(x: jnp.ndarray, kernel: jnp.ndarray, bias,
     return y.astype(x.dtype)
 
 
+def _ste_round(v: jnp.ndarray) -> jnp.ndarray:
+    """round() with a straight-through-estimator gradient (identity)."""
+    return v + lax.stop_gradient(jnp.round(v) - v)
+
+
+def fake_quant_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias,
+                    strides, padding, act_absmax: jnp.ndarray) -> jnp.ndarray:
+    """Quantization-aware-training forward: `int8_conv_static` numerics
+    simulated in float math with straight-through-estimator gradients.
+
+    Identical scale/round/clip pipeline to `int8_conv_static` (same folded
+    per-input-channel activation scales, same per-output-channel weight
+    scales), except the integer matmul runs in fp32 — so a model fine-tuned
+    in this mode sees (to within int32-vs-fp32 accumulation) exactly the
+    values the deployed int8_static path will produce, and its weights adapt
+    to the quantization grid. Gradients: rounds are STE (identity), the
+    activation clip is a clipped-STE (zero outside [-127, 127] counts), and
+    the weight scale s_w is treated as a constant (stop_gradient), the
+    standard fixed-scale QAT recipe.
+    """
+    s_a = jnp.maximum(act_absmax.astype(jnp.float32), 1e-12) / 127.0  # (Cin,)
+    xq = jnp.clip(_ste_round(x.astype(jnp.float32) / s_a), -127.0, 127.0)
+
+    kf = kernel.astype(jnp.float32) * s_a[None, None, :, None]
+    w_absmax = lax.stop_gradient(jnp.max(jnp.abs(kf), axis=(0, 1, 2)))
+    s_w = jnp.where(w_absmax > 0, w_absmax / 127.0, 1.0)       # (Cout,)
+    wq = _ste_round(kf / s_w)
+
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(xq, wq, strides, _as_pad(padding),
+                                 dimension_numbers=dn)
+    y = y * s_w
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class QConv(nn.Module):
     """nn.Conv-compatible conv with a quantized serving mode.
 
@@ -154,14 +200,15 @@ class QConv(nn.Module):
                 if self.use_bias else None)
         if self.mode == "int8":
             return int8_conv(x, kernel, bias, strides, self.padding)
-        if self.mode == "int8_static":
+        if self.mode in ("int8_static", "fake_quant"):
             # calibration scales live in their own 'qscales' collection so the
             # 'params' tree stays checkpoint-identical to nn.Conv
             absmax = self.variable(
                 "qscales", "act_absmax",
                 lambda: jnp.ones((x.shape[-1],), jnp.float32))
-            return int8_conv_static(x, kernel, bias, strides, self.padding,
-                                    absmax.value)
+            fn = (int8_conv_static if self.mode == "int8_static"
+                  else fake_quant_conv)
+            return fn(x, kernel, bias, strides, self.padding, absmax.value)
         if self.mode == "calibrate":
             # record per-input-channel abs-max into 'qstats' (reduce=max over
             # calls/batches), compute natively
