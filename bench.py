@@ -95,11 +95,7 @@ def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
         from weatherforecastingtoolkit_tpu.ops.quant import calibrate
 
         assert calib_frames is not None, "int8_static needs calib_frames"
-        cvae = AutoencoderKL(in_channels=1, out_channels=1,
-                             block_out_channels=VAE_CHANNELS,
-                             layers_per_block=1, latent_channels=LATENT_C,
-                             norm_num_groups=NORM_GROUPS,
-                             conv_mode="calibrate")
+        cvae = AutoencoderKL(**{**kw, "conv_mode": "calibrate"})
         cvars = vae.init(rng, frame)  # fp32 copy of the same params
 
         @jax.jit
