@@ -18,6 +18,7 @@ import json, sys
 sys.path.insert(0, {repo!r})
 import bench
 bench.BATCH, bench.T_IN, bench.T_OUT = 2, 4, 3
+bench.FAST_BATCH = 2
 bench.HW, bench.LATENT_C, bench.LATENT_HW = 32, 4, 8
 bench.VAE_CHANNELS = (8, 16)
 bench.NORM_GROUPS = 4
