@@ -165,6 +165,12 @@ def main(argv=None):
     p.add_argument("--eval-autoregressive", action="store_true",
                    help="also evaluate the jax.lax.scan sliding-window "
                         "autoregressive rollout vs the one-shot forecast")
+    p.add_argument("--eval-ensemble", type=int, default=0, metavar="N",
+                   help="N>0: evaluate an N-member latent-noise ensemble "
+                        "(latent branch only) — calibrate the noise std on "
+                        "the SELECTION split, report ensemble CRPS vs the "
+                        "deterministic forecast on the REPORT split; the "
+                        "reference's Gaussian CRPS only ever saw one member")
     p.add_argument("--fc-lr", type=float, default=None,
                    help="stage-2 forecaster peak LR (default: 1e-3 for "
                         "dlinear, 5e-4 for the token_vit transformer)")
@@ -563,16 +569,17 @@ def main(argv=None):
         print(f"[final] forecast panel written to {args.save_panel}")
 
     # ------------- optional: the scan-autoregressive rollout, same metrics
-    if args.eval_autoregressive:
-        from weatherforecastingtoolkit_tpu.models.rollout import (
-            make_forecast_pipeline)
-
+    if args.eval_autoregressive or args.eval_ensemble:
         def encode_apply(frames):
             return vae.apply(vae_vars, frames, method=vae.encode).mode()
 
         def decode_apply(latents):
             return vae.apply(vae_vars, latents.reshape(
                 (-1, args.latent_ch, lat_hw, lat_hw)), method=vae.decode)
+
+    if args.eval_autoregressive:
+        from weatherforecastingtoolkit_tpu.models.rollout import (
+            make_forecast_pipeline)
 
         ar = jax.jit(make_forecast_pipeline(
             encode_apply=encode_apply, decode_apply=decode_apply,
@@ -595,6 +602,63 @@ def main(argv=None):
         print(f"[autoregressive] AR beats persistence on {ar_wins}/5; "
               "one-shot is the trained horizon (AR re-uses only step 1 of "
               "each forecast)", flush=True)
+
+    # ------------- optional: calibrated latent-noise ensemble, CRPS report
+    if args.eval_ensemble:
+        from weatherforecastingtoolkit_tpu.metrics import crps as _crps
+        from weatherforecastingtoolkit_tpu.models.rollout import (
+            calibrate_noise_std, make_ensemble_eval_fn, make_ensemble_pipeline)
+
+        n_mem = args.eval_ensemble
+        ens = make_ensemble_pipeline(
+            encode_apply=encode_apply, decode_apply=decode_apply,
+            forecaster_apply=lambda p, z: fc.apply(p, z),
+            input_frames=args.t_in, pred_frames=args.t_out, n_members=n_mem)
+        ens_eval = make_ensemble_eval_fn(ens, args.t_in, args.t_out)
+        # scale-robust sigma grid; one compiled program serves the whole sweep
+        stds = (0.0, 0.01, 0.02, 0.05, 0.1, 0.2, 0.5, 1.0)
+        t0 = time.time()
+        best, table = calibrate_noise_std(ens_eval, fc_vars, sel_batches,
+                                          stds, jax.random.key(42))
+        print(f"\n[ensemble] {n_mem}-member calibration on the SELECTION "
+              f"split ({time.time()-t0:.0f}s): "
+              + "  ".join(f"s={s:g}:{c:.5f}" for s, c in table.items()))
+        print(f"[ensemble] calibrated noise std = {best:g}")
+        if best == max(stds):
+            print("[ensemble] WARNING: calibration hit the grid edge — the "
+                  "deterministic forecast is weak enough that max spread "
+                  "wins; extend the grid (or train the forecaster) before "
+                  "trusting the delta")
+
+        jitted = jax.jit(ens_eval)
+        pools = (("CRPS", "none", 1), ("CRPS_4", "avg", 4),
+                 ("CRPS_16", "avg", 16))
+        rows = {}
+        for tag, s in (("deterministic", 0.0), ("ensemble", best)):
+            acc = {k: 0.0 for k, _, _ in pools}
+            mean_m = {}
+            for i, seq in enumerate(rep_batches):
+                pred, tgt, _ = jitted(fc_vars, seq,
+                                      jax.random.fold_in(jax.random.key(7), i),
+                                      s)
+                for k, ptype, scale in pools:
+                    acc[k] += _crps(pred, tgt, pool_type=ptype, scale=scale)
+                for k, v in calc_metrics(pred, tgt).items():
+                    mean_m[k] = mean_m.get(k, 0.0) + float(v)
+            n = len(rep_batches)
+            rows[tag] = ({k: v / n for k, v in acc.items()},
+                         {k: v / n for k, v in mean_m.items()})
+        print(f"[ensemble] {'metric':<10}{'deterministic':>15}"
+              f"{'ensemble':>12}{'delta%':>9}   (report split)")
+        for k, _, _ in pools:
+            d, e = rows["deterministic"][0][k], rows["ensemble"][0][k]
+            print(f"[ensemble] {k:<10}{d:>15.5f}{e:>12.5f}"
+                  f"{100.0 * (e - d) / max(d, 1e-12):>+8.1f}%")
+        dm_, em_ = rows["deterministic"][1], rows["ensemble"][1]
+        print(f"[ensemble] ens-mean skill unchanged check: CSI-M "
+              f"{em_['paper_CSI_M_POOL1']:.4f} vs det "
+              f"{dm_['paper_CSI_M_POOL1']:.4f}, SSIM {em_['SSIM']:.4f} vs "
+              f"{dm_['SSIM']:.4f}", flush=True)
     return wins
 
 

@@ -48,12 +48,22 @@ def main():
     rows = []
     for B in BATCHES:
         frames = jax.device_put(all_frames[:B])
-        # fp32 reference output at THIS batch (same events -> same gate basis)
+        # fp32 reference output at THIS batch (same events -> same gate
+        # basis). Computed in chunks of <=256 events: every op in the
+        # pipeline is per-sample (convs, GroupNorm, DLinear), so chunking
+        # is numerically equivalent and keeps fp32 activations inside HBM
+        # at batches where a single fp32 pass would OOM.
         t0 = time.time()
+        chunk = min(B, 256)
         pipe32, fc32 = bench.build_jax_pipeline("float32", vae_kwargs=FAST_KW)
-        _, _, out32 = bench._time_pipeline(pipe32, fc32, frames, n_rep=1)
-        ref = np.asarray(out32).reshape(-1, 1, bench.HW, bench.HW)
-        del out32
+        refs = []
+        for i in range(0, B, chunk):
+            _, _, out32 = bench._time_pipeline(
+                pipe32, fc32, frames[i:i + chunk], n_rep=1)
+            refs.append(np.asarray(out32).reshape(-1, 1, bench.HW, bench.HW))
+            del out32
+        ref = np.concatenate(refs) if len(refs) > 1 else refs[0]
+        del refs
         print(f"B={B}: fp32 reference done ({time.time()-t0:.0f}s)",
               flush=True)
 

@@ -8,7 +8,10 @@ import numpy as np
 import pytest
 
 from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
-from weatherforecastingtoolkit_tpu.models.rollout import (evaluate_vs_persistence,
+from weatherforecastingtoolkit_tpu.models.rollout import (calibrate_noise_std,
+                                                          evaluate_vs_persistence,
+                                                          make_ensemble_eval_fn,
+                                                          make_ensemble_pipeline,
                                                           make_eval_fn,
                                                           make_forecast_pipeline,
                                                           persistence_baseline)
@@ -102,6 +105,95 @@ def test_eval_vs_persistence(rng):
     model_m, persist_m = evaluate_vs_persistence(eval_fn, params, batches)
     assert "SSIM" in model_m and "SSIM" in persist_m
     assert np.isfinite(model_m["CRPS"]) and np.isfinite(persist_m["CRPS"])
+
+
+# ------------------------------------------------------------------ ensembles
+def _tiny_setup(rng, t_in=4, t_out=3, hw=4):
+    encode, decode = _identity_codec()
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, hw * hw)))
+    kw = dict(encode_apply=encode, decode_apply=decode,
+              forecaster_apply=lambda p, z: fc.apply(p, z),
+              input_frames=t_in, pred_frames=t_out)
+    x = jnp.asarray(rng.random((2, t_in, 1, hw, hw)).astype(np.float32))
+    return kw, params, x
+
+
+@pytest.mark.parametrize("autoregressive", [False, True])
+def test_ensemble_zero_noise_matches_deterministic(autoregressive, rng):
+    """noise_std=0 with a deterministic encoder: every member must equal the
+    plain pipeline's output exactly."""
+    kw, params, x = _tiny_setup(rng)
+    if autoregressive:
+        fc1 = DLinear(seq_len=4, pred_len=1, kernel_size=3)
+        p1 = fc1.init(jax.random.key(0), jnp.zeros((1, 4, 16)))
+        kw = dict(kw, forecaster_apply=lambda p, z: fc1.apply(p, z),
+                  autoregressive=True)
+        params = p1
+    pipeline = make_forecast_pipeline(**kw)
+    ens = make_ensemble_pipeline(n_members=3, **kw)
+    det = jax.jit(pipeline)(params, x)
+    out = jax.jit(ens)(params, x, jax.random.key(1), 0.0)
+    assert out.shape == (2, 3) + det.shape[1:]
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(out[:, m]), np.asarray(det),
+                                   atol=1e-6)
+
+
+def test_ensemble_spread_and_key_determinism(rng):
+    kw, params, x = _tiny_setup(rng)
+    ens = jax.jit(make_ensemble_pipeline(n_members=4, **kw))
+    a = np.asarray(ens(params, x, jax.random.key(7), 0.1))
+    b = np.asarray(ens(params, x, jax.random.key(7), 0.1))
+    c = np.asarray(ens(params, x, jax.random.key(8), 0.1))
+    np.testing.assert_array_equal(a, b)          # same key -> same draws
+    assert np.abs(a - c).max() > 1e-4            # different key -> different
+    assert np.abs(a[:, 0] - a[:, 1]).max() > 1e-4  # members differ
+
+
+def test_ensemble_posterior_sampling_path(rng):
+    """encode_sample_apply members differ even at noise_std=0, and the mean
+    over many members approaches the deterministic (mode) rollout."""
+    kw, params, x = _tiny_setup(rng)
+
+    def encode_sample(key, frames):  # mode + unit-variance posterior noise
+        z = frames.reshape(frames.shape[0], -1)
+        return z + 0.05 * jax.random.normal(key, z.shape, z.dtype)
+
+    ens = make_ensemble_pipeline(n_members=16, encode_sample_apply=encode_sample,
+                                 **kw)
+    out = np.asarray(jax.jit(ens)(params, x, jax.random.key(3), 0.0))
+    assert np.abs(out[:, 0] - out[:, 1]).max() > 1e-4
+    det = np.asarray(jax.jit(make_forecast_pipeline(**kw))(params, x))
+    # linear pipeline on gaussian perturbations -> mean ~ deterministic
+    np.testing.assert_allclose(out.mean(axis=1), det, atol=0.05)
+
+
+def test_calibrated_spread_improves_crps(rng):
+    """An imperfect forecast with a calibrated latent-noise ensemble must
+    score LOWER (better) CRPS than its own deterministic run — the textbook
+    property that makes the ensemble worth shipping."""
+    t_in, t_out, hw = 4, 3, 8
+    kw, params, _ = _tiny_setup(rng, t_in=t_in, t_out=t_out, hw=hw)
+    ens = make_ensemble_pipeline(n_members=8, **kw)
+    eval_fn = make_ensemble_eval_fn(ens, t_in, t_out)
+    batches = [jnp.asarray(rng.random((2, t_in + t_out, 1, hw, hw))
+                           .astype(np.float32)) for _ in range(2)]
+    best, table = calibrate_noise_std(
+        eval_fn, params, batches, stds=(0.0, 0.05, 0.1, 0.2, 0.4),
+        key=jax.random.key(0))
+    assert best > 0.0
+    assert table[best] < table[0.0]
+
+
+def test_ensemble_feeds_calc_metrics(rng):
+    from weatherforecastingtoolkit_tpu.metrics import calc_metrics
+    kw, params, x = _tiny_setup(rng)
+    ens = jax.jit(make_ensemble_pipeline(n_members=4, **kw))
+    pred = ens(params, x, jax.random.key(0), 0.1)      # (B,N,T,C,H,W)
+    target = jnp.asarray(rng.random((2, 3, 1, 4, 4)).astype(np.float32))
+    m = calc_metrics(pred, target)
+    assert np.isfinite(m["CRPS"]) and np.isfinite(m["paper_CSI_M_POOL1"])
 
 
 # ---------------------------------------------------------------- graft entry
