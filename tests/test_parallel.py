@@ -327,3 +327,42 @@ def test_export_pipeline_roundtrip(tmp_path, rng):
                                np.asarray(jax.jit(pipe)(fv, frames)), atol=1e-6)
     other = jnp.asarray(rng.random((7, t_in, 1, hw, hw)).astype(np.float32))
     assert call(fv, other).shape == (7, t_out, 1, hw, hw)
+
+
+def test_member_parallel_ensemble_matches_unsharded(rng):
+    """N=8 ensemble members sharded over the 8-device mesh must reproduce the
+    unsharded run of the same fanout program (same key tree), with the member
+    axis actually distributed."""
+    from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
+    from weatherforecastingtoolkit_tpu.models.rollout import (
+        make_ensemble_pipeline)
+    from weatherforecastingtoolkit_tpu.parallel.serving import (
+        make_member_parallel_ensemble)
+
+    t_in, t_out, hw = 4, 3, 4
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, hw * hw)))
+    kw = dict(
+        encode_apply=lambda f: f.reshape(f.shape[0], -1),
+        decode_apply=lambda z: z.reshape(z.shape[0], 1, hw, hw),
+        forecaster_apply=lambda p, z: fc.apply(p, z),
+        input_frames=t_in, pred_frames=t_out)
+    x = jnp.asarray(rng.random((2, t_in, 1, hw, hw)).astype(np.float32))
+    key = jax.random.key(5)
+
+    mesh = make_mesh(("dp",))
+    sharded = make_member_parallel_ensemble(mesh=mesh, n_members=8, **kw)
+    out = sharded(params, x, key, 0.1)
+    assert out.shape == (2, 8, t_out, 1, hw, hw)
+    member_shards = {s.index[1] for s in out.addressable_shards}
+    assert len(member_shards) == 8  # member axis is distributed
+
+    # unsharded reference: the identical key tree, one device
+    local = make_ensemble_pipeline(n_members=1, **kw)
+    keys = jax.random.split(key, 8)
+    ref = jnp.concatenate(
+        [local(params, x, keys[i], 0.1) for i in range(8)], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        make_member_parallel_ensemble(mesh=mesh, n_members=6, **kw)

@@ -58,6 +58,45 @@ def make_dp_serving_fn(pipeline: Callable, mesh: Mesh,
     return serve
 
 
+def make_member_parallel_ensemble(*, mesh: Mesh, n_members: int,
+                                  **ensemble_kw) -> Callable:
+    """Ensemble members sharded across the mesh (probabilistic serving).
+
+    Ensemble rollouts (models/rollout.py::make_ensemble_pipeline) are
+    embarrassingly parallel over the MEMBER axis: each member's
+    perturb -> forecast -> decode chain is independent. This builds a
+    per-shard ensemble of n_members/n_devices members and fans it out with
+    params/frames replicated and the member axis split over the mesh —
+    an N-member probabilistic forecast at ~single-member latency, with
+    zero collectives in the program.
+
+    Takes the same keyword args as make_ensemble_pipeline (minus n_members,
+    passed separately; n_members must divide evenly by the mesh size).
+    Returns ensemble(fc_params, frames, key, noise_std) ->
+    (B, n_members, T_out, C, H, W) sharded P(None, 'dp') on the member axis.
+    """
+    from ..models.rollout import make_ensemble_pipeline
+
+    ndev = mesh.devices.size
+    if n_members % ndev:
+        raise ValueError(f"n_members={n_members} must be divisible by the "
+                         f"mesh size {ndev}")
+    local = make_ensemble_pipeline(n_members=n_members // ndev, **ensemble_kw)
+
+    def fanout(fc_params, frames, key, noise_std):
+        keys = jax.random.split(key, ndev)
+        out = jax.vmap(lambda k: local(fc_params, frames, k, noise_std))(keys)
+        # (ndev, B, n_local, ...) -> (B, ndev * n_local, ...): ndev-major, so
+        # the merged member axis shards cleanly over 'dp'
+        out = jnp.moveaxis(out, 0, 1)
+        return out.reshape((out.shape[0], n_members) + out.shape[3:])
+
+    rep = replicated(mesh)
+    member_shard = NamedSharding(mesh, P(None, "dp"))
+    return jax.jit(fanout, in_shardings=(rep, rep, None, None),
+                   out_shardings=member_shard)
+
+
 def export_pipeline(pipeline, params, example_frames, path: str,
                     batch_symbolic: bool = True) -> None:
     """Serialize the jitted pipeline to a StableHLO artifact (jax.export).
