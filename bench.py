@@ -63,12 +63,13 @@ def log(msg):
 
 
 def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
-                       autoregressive=False, vae_kwargs=None):
+                       autoregressive=False, vae_kwargs=None, streaming=False):
     import jax
     import jax.numpy as jnp
 
     from weatherforecastingtoolkit_tpu.models.forecasters import DLinear
-    from weatherforecastingtoolkit_tpu.models.rollout import make_forecast_pipeline
+    from weatherforecastingtoolkit_tpu.models.rollout import (
+        make_forecast_pipeline, make_streaming_forecaster)
     from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL
 
     kw = dict(in_channels=1, out_channels=1,
@@ -125,6 +126,16 @@ def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
     def decode_apply(latents):
         return vae.apply(vae_vars, latents.astype(jdtype), method=vae.decode
                          ).astype(jnp.float32)
+
+    if streaming:
+        # operational mode: sliding latent window, one-frame encode per tick
+        lat = jax.eval_shape(encode_apply,
+                             jax.ShapeDtypeStruct((1, 1, HW, HW), jnp.float32))
+        init, step = make_streaming_forecaster(
+            encode_apply=encode_apply, decode_apply=decode_apply,
+            forecaster_apply=lambda p, z: forecaster.apply(p, z),
+            input_frames=T_IN, pred_frames=T_OUT, latent_shape=lat.shape[1:])
+        return (jax.jit(init), jax.jit(step, donate_argnums=(1,))), fc_vars
 
     pipeline = make_forecast_pipeline(
         encode_apply=encode_apply, decode_apply=decode_apply,
@@ -302,6 +313,33 @@ def bench_jax():
     except Exception as e:  # noqa: BLE001
         log(f"B=1 latency variant failed: {type(e).__name__}: {e}")
 
+    # streaming tick (B=1): the operational 5-min-cadence radar loop —
+    # sliding latent window, so each new frame costs ONE frame encode +
+    # forecast + decode instead of re-encoding all T_IN frames
+    log("compiling streaming (sliding-latent-window) tick ...")
+    lat_stream_ms = None
+    try:
+        import time as _t
+
+        (s_init, s_step), fc_s = build_jax_pipeline("bfloat16",
+                                                    streaming=True)
+        state = s_init(frames[:1])
+        new_frame = frames[:1, -1]
+        state, out_s = s_step(fc_s, state, new_frame)   # compile + warm
+        jax.block_until_ready(out_s)
+        ticks = []
+        for _ in range(20):
+            t0 = _t.time()
+            state, out_s = s_step(fc_s, state, new_frame)
+            jax.block_until_ready(out_s)
+            ticks.append(_t.time() - t0)
+        lat_stream_ms = sorted(ticks)[len(ticks) // 2] * 1000
+        log(f"streaming tick (B=1): {lat_stream_ms:.1f} ms"
+            + ("" if lat_ms is None else
+               f" (full re-encode rollout: {lat_ms:.1f} ms)"))
+    except Exception as e:  # noqa: BLE001
+        log(f"streaming variant failed: {type(e).__name__}: {e}")
+
     return fps, mfu, bwu, {
         "int8_frames_per_sec": round(fps8, 2) if fps8 is not None else None,
         "int8_ssim_vs_fp32": round(s8, 5) if s8 is not None else None,
@@ -316,7 +354,9 @@ def bench_jax():
                                       if s_fast is not None else None),
         "latency_ms_b1": round(lat_ms, 2) if lat_ms is not None else None,
         "fast_vae_latency_ms_b1": (round(lat_fast_ms, 2)
-                                   if lat_fast_ms is not None else None)}
+                                   if lat_fast_ms is not None else None),
+        "streaming_tick_ms_b1": (round(lat_stream_ms, 2)
+                                 if lat_stream_ms is not None else None)}
 
 
 def bench_train():

@@ -35,6 +35,13 @@ def main(argv=None):
     p.add_argument("--run-dir", default=None,
                    help="run dir with checkpoints to load the forecaster from")
     p.add_argument("--max-batches", type=int, default=16)
+    p.add_argument("--ensemble", type=int, default=0, metavar="N",
+                   help="N>0: also evaluate an N-member latent-noise "
+                        "ensemble — calibrate noise_std on the first half "
+                        "of the eval batches, report CRPS vs deterministic "
+                        "on the second half")
+    p.add_argument("--ensemble-stds", default="0,0.01,0.02,0.05,0.1,0.2,0.5,1",
+                   help="comma-separated noise_std calibration grid")
     args, dotlist = p.parse_known_args(argv)
 
     import jax
@@ -87,7 +94,41 @@ def main(argv=None):
     print(f"{'metric':<22}{'model':>12}{'persistence':>14}")
     for k in headline:
         print(f"{k:<22}{model_m[k]:>12.4f}{persist_m[k]:>14.4f}")
-    print(json.dumps({"model": model_m, "persistence": persist_m}))
+
+    ens_report = {}
+    if args.ensemble > 0:
+        from weatherforecastingtoolkit_tpu.metrics import crps as _crps
+        from weatherforecastingtoolkit_tpu.models.rollout import (
+            calibrate_noise_std, make_ensemble_eval_fn, make_ensemble_pipeline)
+
+        ens = make_ensemble_pipeline(
+            encode_apply=lambda f: encode_mode(f),
+            decode_apply=decode_apply,
+            forecaster_apply=lambda p_, z: forecaster.apply(p_, z),
+            input_frames=t_in, pred_frames=t_out, n_members=args.ensemble)
+        ens_eval = make_ensemble_eval_fn(ens, t_in, t_out)
+        cal = batches[: max(1, len(batches) // 2)]
+        rep = batches[max(1, len(batches) // 2):] or cal
+        best, table = calibrate_noise_std(
+            ens_eval, fc_params, cal,
+            stds=tuple(float(s) for s in args.ensemble_stds.split(",")),
+            key=jax.random.key(42))
+        jitted = jax.jit(ens_eval)
+        ens_report = {"noise_std": best, "calibration": table}
+        for tag, s in (("crps_deterministic", 0.0), ("crps_ensemble", best)):
+            tot = 0.0
+            for i, seq in enumerate(rep):
+                pred, tgt, _ = jitted(fc_params, seq,
+                                      jax.random.fold_in(jax.random.key(7), i),
+                                      s)
+                tot += _crps(pred, tgt)
+            ens_report[tag] = tot / len(rep)
+        print(f"[ensemble] N={args.ensemble} noise_std={best:g}: CRPS "
+              f"{ens_report['crps_deterministic']:.5f} -> "
+              f"{ens_report['crps_ensemble']:.5f}")
+
+    print(json.dumps({"model": model_m, "persistence": persist_m,
+                      **({"ensemble": ens_report} if ens_report else {})}))
 
 
 if __name__ == "__main__":

@@ -92,3 +92,4 @@ def test_bench_json_contract(tmp_path):
     assert "fast_vae_ssim_vs_own_fp32" in payload
     assert "latency_ms_b1" in payload
     assert "fast_vae_latency_ms_b1" in payload
+    assert "streaming_tick_ms_b1" in payload

@@ -14,6 +14,7 @@ from weatherforecastingtoolkit_tpu.models.rollout import (calibrate_noise_std,
                                                           make_ensemble_pipeline,
                                                           make_eval_fn,
                                                           make_forecast_pipeline,
+                                                          make_streaming_forecaster,
                                                           persistence_baseline)
 
 
@@ -194,6 +195,38 @@ def test_ensemble_feeds_calc_metrics(rng):
     target = jnp.asarray(rng.random((2, 3, 1, 4, 4)).astype(np.float32))
     m = calc_metrics(pred, target)
     assert np.isfinite(m["CRPS"]) and np.isfinite(m["paper_CSI_M_POOL1"])
+
+
+# ------------------------------------------------------------------ streaming
+@pytest.mark.parametrize("use_uint8", [False, True])
+def test_streaming_matches_batch_pipeline(use_uint8, rng):
+    """Feeding frames one at a time through the sliding-latent-window step
+    must reproduce the batch pipeline run on each full window exactly."""
+    t_in, t_out, hw = 4, 3, 4
+    encode, decode = _identity_codec()
+    fc = DLinear(seq_len=t_in, pred_len=t_out, kernel_size=3)
+    params = fc.init(jax.random.key(0), jnp.zeros((1, t_in, hw * hw)))
+    kw = dict(encode_apply=encode, decode_apply=decode,
+              forecaster_apply=lambda p, z: fc.apply(p, z),
+              input_frames=t_in, pred_frames=t_out)
+    pipeline = jax.jit(make_forecast_pipeline(**kw))
+    init, step = make_streaming_forecaster(latent_shape=(hw * hw,), **kw)
+    init, step = jax.jit(init), jax.jit(step)
+
+    n_ticks = 5
+    raw = rng.random((2, t_in + n_ticks, 1, hw, hw))
+    seq = ((raw * 255).astype(np.uint8) if use_uint8
+           else raw.astype(np.float32))
+    seq = jnp.asarray(seq)
+
+    state = init(seq[:, :t_in])
+    for i in range(n_ticks):
+        frame = seq[:, t_in + i]
+        state, fcast = step(params, state, frame)
+        window = seq[:, i + 1:t_in + i + 1]
+        expect = pipeline(params, window)
+        np.testing.assert_allclose(np.asarray(fcast), np.asarray(expect),
+                                   atol=1e-6)
 
 
 # ---------------------------------------------------------------- graft entry

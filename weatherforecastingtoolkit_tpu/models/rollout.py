@@ -185,6 +185,57 @@ def make_ensemble_pipeline(
     return ensemble
 
 
+def make_streaming_forecaster(
+    *,
+    encode_apply: Callable,   # (frames (N,C,H,W)) -> latents (N, ...)
+    decode_apply: Callable,   # (latents (N, ...)) -> frames (N,C,H,W)
+    forecaster_apply: Callable,  # (fc_params, (B,T,D)) -> (B,T_out,D)
+    input_frames: int,
+    pred_frames: int,
+    latent_shape: Tuple[int, ...],
+    residual_anchor: bool = True,
+    autoregressive: bool = False,
+    dequantize: bool = True,
+) -> Tuple[Callable, Callable]:
+    """Operational (streaming) serving mode: keep a sliding LATENT window so
+    each new radar frame costs ONE frame encode + forecast + decode — the
+    batch pipeline re-encodes all `input_frames` every call.
+
+    Returns (init, step), both jittable:
+      init(frames_in (B, input_frames, C, H, W)) -> state   (latent window)
+      step(fc_params, state, frame (B, C, H, W)) -> (state, forecast)
+    with forecast (B, pred_frames, C, H, W) identical to running the batch
+    pipeline on the window ending at `frame` (tests pin this equality).
+
+    latent_shape is the per-frame latent shape the decoder expects (e.g.
+    (64, 8, 8)) — static, so the caller supplies it. The reference has no
+    serving path at all (evaluation is a Trainer mode, SURVEY §3.3); this is
+    the 5-minute-cadence radar loop it would have needed in production.
+    """
+    forecast_decode = _make_forecast_decode(
+        decode_apply, forecaster_apply, pred_frames, residual_anchor,
+        autoregressive)
+
+    def _dequant(x):
+        if dequantize and x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) * (1.0 / 255.0)
+        return x
+
+    def init(frames_in):
+        x = _dequant(frames_in)
+        b = x.shape[0]
+        z = encode_apply(_fold(x))
+        return z.reshape(b, input_frames, -1)
+
+    def step(fc_params, z_window, frame):
+        x = _dequant(frame)
+        z_new = encode_apply(x).reshape(x.shape[0], 1, -1)
+        z_window = jnp.concatenate([z_window[:, 1:], z_new], axis=1)
+        return z_window, forecast_decode(fc_params, z_window, latent_shape)
+
+    return init, step
+
+
 def make_ensemble_eval_fn(ensemble: Callable, input_frames: int,
                           pred_frames: int, dequantize: bool = True
                           ) -> Callable:
