@@ -162,12 +162,21 @@ class Trainer:
 
     def init_state(self) -> TrainState:
         if self._resume_state is not None:
-            return self._resume_state
-        state = self._init_state(jax.random.key(int(self.cfg.get("seed", 0))))
+            state = self._resume_state
+        else:
+            state = self._init_state(jax.random.key(int(self.cfg.get("seed", 0))))
         if self.mesh is not None:
-            # replicate across the mesh; batches get sharded over 'dp'
-            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
-            state = jax.device_put(state, rep)
+            if bool(self.cfg.trainer.get("fsdp", False)):
+                # fully-sharded (ZeRO-3 style): params + optimizer state
+                # sharded over 'dp'; GSPMD all-gathers weights on use and
+                # reduce-scatters gradients (parallel/fsdp.py)
+                from ..parallel.fsdp import shard_train_state
+                state = shard_train_state(state, self.mesh, axis="dp")
+            elif self._resume_state is None:
+                # replicate across the mesh; batches get sharded over 'dp'
+                rep = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec())
+                state = jax.device_put(state, rep)
         return state
 
     def batch_sharding(self) -> Optional[jax.sharding.Sharding]:
