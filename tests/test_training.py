@@ -81,6 +81,36 @@ def test_find_latest_no_ckpt(tmp_path):
     assert out == (None, None, None)
 
 
+def test_async_checkpoint_snapshot_isolation(tmp_path):
+    """async_save: save() snapshots state at call time (device->host copy),
+    the write overlaps further training, and every saved step restores the
+    values that were current WHEN it was saved — including jax.Array input
+    and a save issued while the previous write may still be in flight."""
+    run_dir = run_dir_for(str(tmp_path), "exp", "async")
+    mgr = CheckpointManager(run_dir, async_save=True)
+    template = {"params": {"w": np.zeros((64, 64), np.float32)},
+                "step": np.asarray(0, np.int32)}
+    s1 = {"params": {"w": jnp.full((64, 64), 1.0)},
+          "step": jnp.asarray(1, jnp.int32)}
+    mgr.save(1, s1)                      # returns before the write finishes
+    s2 = {"params": {"w": np.asarray(s1["params"]["w"]) * 2},
+          "step": np.asarray(2, np.int32)}
+    mgr.save(2, s2)                      # drains save-1 first, stays ordered
+    # save_last overwrite of an async-saved step must also be safe
+    mgr.save(2, {"params": {"w": np.asarray(s2["params"]["w"]) + 1},
+                 "step": np.asarray(2, np.int32)}, force=True)
+    r1 = mgr.restore(template, step=1)
+    r2 = mgr.restore(template, step=2)
+    mgr.close()
+    np.testing.assert_array_equal(r1["params"]["w"], 1.0)
+    np.testing.assert_array_equal(r2["params"]["w"], 3.0)
+    assert int(r1["step"]) == 1 and int(r2["step"]) == 2
+    # a fresh manager (new process analog) sees only finalized steps
+    mgr2 = CheckpointManager(run_dir)
+    assert mgr2.all_steps() == [1, 2]
+    mgr2.close()
+
+
 # ---------------------------------------------------------------- end-to-end
 @pytest.fixture(scope="module")
 def tiny_cfg(tmp_path_factory):

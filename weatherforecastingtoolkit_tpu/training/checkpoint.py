@@ -34,10 +34,21 @@ def new_run_id() -> str:
 
 
 class CheckpointManager:
-    """Thin orbax wrapper for one run: save(step, state), restore(step|None)."""
+    """Thin orbax wrapper for one run: save(step, state), restore(step|None).
 
-    def __init__(self, run_dir: str, max_to_keep: int = 5):
+    `async_save=True` makes save() block only for the device->host copy (the
+    snapshot is taken at call time); the disk write proceeds on orbax's
+    background thread and overlaps the next training steps. Each save first
+    drains the previous in-flight write, so at most one write is ever
+    outstanding and saves land in order. restore()/close() drain too, so
+    readers never see a half-written step from this process (cross-process
+    readers are protected by orbax's atomic finalize-rename).
+    """
+
+    def __init__(self, run_dir: str, max_to_keep: int = 5,
+                 async_save: bool = False):
         self.ckpt_dir = os.path.abspath(os.path.join(run_dir, "checkpoints"))
+        self.async_save = async_save
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.ckpt_dir,
@@ -45,17 +56,20 @@ class CheckpointManager:
                                                  create=True))
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.wait_until_finished()  # drain any in-flight async write
         if step in self._mgr.all_steps():
             if not force:
                 return  # periodic save already wrote this step
             self._mgr.delete(step)  # save_last semantics: overwrite
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        self._mgr.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"No checkpoints in {self.ckpt_dir}")
@@ -64,7 +78,11 @@ class CheckpointManager:
     def all_steps(self):
         return self._mgr.all_steps()
 
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

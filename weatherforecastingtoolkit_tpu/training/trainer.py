@@ -137,7 +137,12 @@ class Trainer:
         self.run_dir = run_dir_for(exp_path, exp_name, self.run_id)
         self.logger = RunLogger(self.run_dir, project=cfg.get("project_name"),
                                 name=exp_name, resume_id=self.run_id)
-        self.ckpt = CheckpointManager(self.run_dir)
+        # async by default: save() blocks only for the device->host snapshot;
+        # the disk write overlaps the next training steps (orbax background
+        # thread). trainer.async_checkpoint=false restores blocking saves.
+        self.ckpt = CheckpointManager(
+            self.run_dir,
+            async_save=bool(cfg.trainer.get("async_checkpoint", True)))
         Config(cfg).save(f"{self.run_dir}/config.yaml")
 
         self._train_step = self._build_train_step()
@@ -285,7 +290,10 @@ class Trainer:
                     t_last = time.time()
                     self.logger.log_scalars(aux, step, prefix="train")
                 if step % save_every == 0:
-                    self.ckpt.save(step, jax.device_get(state))
+                    # pass device arrays: orbax snapshots them (D2H copy) at
+                    # call time and, under async_checkpoint, writes to disk on
+                    # its background thread while training continues
+                    self.ckpt.save(step, state)
                 if val_loader is not None and step % val_every == 0:
                     # panels on the first val batch each cycle (the reference
                     # logs VIL image panels at validation intervals)
@@ -293,8 +301,9 @@ class Trainer:
                 if updates >= self.total_steps:
                     done = True
                     break
-        # save_last semantics
-        self.ckpt.save(max(step, 1), jax.device_get(state), force=True)
+        # save_last semantics (force=True drains any in-flight async write
+        # first, so the final checkpoint always lands)
+        self.ckpt.save(max(step, 1), state, force=True)
         return state
 
     def _log_param_histograms(self, state: TrainState, batch, step: int
