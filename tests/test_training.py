@@ -81,6 +81,36 @@ def test_find_latest_no_ckpt(tmp_path):
     assert out == (None, None, None)
 
 
+def test_donated_train_step_matches(tmp_path):
+    """trainer.donate=true (buffer-donated state) must produce bit-identical
+    training to the non-donating step — donation only changes buffer reuse,
+    never values. (On CPU donation is best-effort; on TPU it removes the
+    transient second copy of params + optimizer state.)"""
+    model = PosAwareAE(enc_channels=(8, 8), dec_channels=(8, 8, 8),
+                       num_blocks=1, latent_hw=8, latent_channels=2,
+                       latent_dim=32)
+
+    def run(donate):
+        cfg = Config({
+            "experiment_name": f"donate_{donate}", "experiment_path": str(tmp_path),
+            "seed": 0,
+            "optim": {"lr": 1e-3, "schedule": "constant"},
+            "trainer": {"max_epochs": 1, "total_train_steps": 3,
+                        "save_every_n_steps": 1.0, "donate": donate},
+            "logging": {"log_every_n_steps": 10, "val_every_n": 10.0},
+        })
+        tr = Trainer(cfg, reconstruction_task(model))
+        x = np.random.default_rng(0).random((4, 2, 1, 32, 32)).astype(np.float32)
+        state = tr.fit([{"vil": jnp.asarray(x)} for _ in range(3)],
+                       state=tr.init_state())
+        tr.close()
+        return jax.device_get(state.params)
+
+    a, b = run(False), run(True)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_async_checkpoint_snapshot_isolation(tmp_path):
     """async_save: save() snapshots state at call time (device->host copy),
     the write overlaps further training, and every saved step restores the

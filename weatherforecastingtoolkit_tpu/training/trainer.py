@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -192,10 +193,19 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------------
     def _build_train_step(self):
+        # trainer.donate=true donates the INPUT state's buffers to the step:
+        # XLA reuses them for the output state in place, removing the
+        # transient second copy of params + optimizer state (the difference
+        # between fitting and OOMing for models whose state is a large
+        # fraction of HBM). Opt-in because a donated state is consumed — the
+        # caller must not touch the pre-step state object afterwards. Safe
+        # with async checkpointing: orbax snapshots device->host
+        # synchronously inside save(), before the next (donating) step runs.
+        donate = (0,) if bool(self.cfg.trainer.get("donate", False)) else ()
         if self.task.custom_train_step is not None:
             custom = self.task.custom_train_step
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=donate)
             def train_step(state: TrainState, batch):
                 return custom(state, batch, self.tx)
 
@@ -203,7 +213,7 @@ class Trainer:
 
         loss_fn = self.task.loss_fn
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def train_step(state: TrainState, batch):
             rng, step_rng = jax.random.split(state.rng)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
