@@ -266,6 +266,24 @@ class Trainer:
         hist_every = (accum * max(1, int(self.total_steps * float(hist_frac)))
                       if hist_frac else None)
 
+        # Preemption-safe training: TPU slices are routinely preempted with a
+        # SIGTERM + grace period. Catch it, finish the in-flight step, write a
+        # final checkpoint, and return cleanly — run_with_retry / --resume
+        # then continues from that exact step on the replacement slice.
+        # (Handlers only install in the main thread; elsewhere this is a no-op.)
+        self.preempted = False
+        prev_handler = None
+        if bool(cfg.trainer.get("checkpoint_on_preempt", True)):
+            import signal as _signal
+
+            def _on_term(signum, frame):
+                self.preempted = True
+
+            try:
+                prev_handler = _signal.signal(_signal.SIGTERM, _on_term)
+            except ValueError:  # not the main thread
+                prev_handler = None
+
         step = start_step
         t_last = time.time()
         done = False
@@ -308,12 +326,21 @@ class Trainer:
                     # panels on the first val batch each cycle (the reference
                     # logs VIL image panels at validation intervals)
                     self.validate(state, val_loader, step, log_images=True)
+                if self.preempted:
+                    print(f"[trainer] SIGTERM at step {step}: writing "
+                          "preemption checkpoint and stopping")
+                    done = True
+                    break
                 if updates >= self.total_steps:
                     done = True
                     break
         # save_last semantics (force=True drains any in-flight async write
-        # first, so the final checkpoint always lands)
+        # first, so the final checkpoint always lands — including the
+        # preemption checkpoint)
         self.ckpt.save(max(step, 1), state, force=True)
+        if prev_handler is not None:
+            import signal as _signal
+            _signal.signal(_signal.SIGTERM, prev_handler)
         return state
 
     def _log_param_histograms(self, state: TrainState, batch, step: int
