@@ -131,6 +131,46 @@ def test_gan_dp_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_gan_fsdp_step_matches_single_device(rng):
+    """FSDP over the GAN's FULL state — generator params/opt AND the
+    discriminator tree living in TrainState.extra (disc params + its Adam
+    moments) — must reproduce the single-device two-optimizer step, with the
+    extra tree genuinely sharded."""
+    import optax
+
+    from weatherforecastingtoolkit_tpu.parallel.fsdp import (shard_fraction,
+                                                             shard_train_state)
+    from weatherforecastingtoolkit_tpu.training.trainer import TrainState
+
+    task, hw = _tiny_vae_gan_task()
+    tx = optax.sgd(1e-3)
+    key = jax.random.key(0)
+    params = task.init_params(key)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=key,
+                       extra=task.init_extra(key, params))
+    batch = {"vil": jnp.asarray(
+        rng.random((8, 2, 1, hw, hw)).astype(np.float32))}
+
+    step = jax.jit(lambda s, b: task.custom_train_step(s, b, tx))
+    s1, aux1 = step(state, batch)
+
+    mesh = make_mesh(("dp",))
+    state_f = shard_train_state(state, mesh, min_shard_elems=1)
+    assert shard_fraction(state_f.extra) < 0.75  # disc tree really split
+    batch_f = {"vil": jax.device_put(batch["vil"], dp_sharding(mesh))}
+    s2, aux2 = step(state_f, batch_f)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.extra["disc_params"]),
+                    jax.tree_util.tree_leaves(s2.extra["disc_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_mp_sharded_vae_step_matches_single_device(rng):
     """AutoencoderKL train step with conv/dense kernels tensor-parallel over
     'mp' (output-feature axis) on a dp x mp mesh == the single-device step;
