@@ -81,6 +81,66 @@ def test_find_latest_no_ckpt(tmp_path):
     assert out == (None, None, None)
 
 
+def test_ema_shadow_params(tmp_path):
+    """trainer.ema_decay: the shadow tree follows ema = d*ema + (1-d)*params
+    exactly (verified against a manual recursion over the same param
+    trajectory), persists through checkpoint/resume, and Trainer.ema_params
+    selects it."""
+    model = PosAwareAE(enc_channels=(8, 8), dec_channels=(8, 8, 8),
+                       num_blocks=1, latent_hw=8, latent_channels=2,
+                       latent_dim=32)
+    d = 0.9
+    cfg = Config({
+        "experiment_name": "ema", "experiment_path": str(tmp_path), "seed": 0,
+        "optim": {"lr": 1e-2, "schedule": "constant"},
+        "trainer": {"max_epochs": 1, "total_train_steps": 3,
+                    "save_every_n_steps": 1.0, "ema_decay": d},
+        "logging": {"log_every_n_steps": 10, "val_every_n": 10.0},
+    })
+    task = reconstruction_task(model)
+    tr = Trainer(cfg, task)
+    state = tr.init_state()
+    p0 = jax.device_get(state.params)
+    x = np.random.default_rng(0).random((4, 2, 1, 32, 32)).astype(np.float32)
+    batch = {"vil": jnp.asarray(x)}
+
+    # manual recursion over the actual param trajectory
+    manual = p0
+    s = state
+    for _ in range(3):
+        s, _ = tr._train_step(s, batch)
+        manual = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            manual, jax.device_get(s.params))
+    for a, b in zip(jax.tree_util.tree_leaves(s.extra["ema_params"]),
+                    jax.tree_util.tree_leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-6, atol=1e-7)
+    # ema lags params (it is a genuinely different tree after updates)
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(s.extra["ema_params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(s.params)[0]))
+    assert Trainer.ema_params(s) is s.extra["ema_params"]
+
+    # checkpoint + resume round-trips the shadow tree
+    tr.ckpt.save(int(s.step), s, force=True)
+    tr.close()
+    tr2 = Trainer(cfg, reconstruction_task(model), resume=True)
+    s2 = tr2.init_state()
+    for a, b in zip(jax.tree_util.tree_leaves(s.extra["ema_params"]),
+                    jax.tree_util.tree_leaves(s2.extra["ema_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr2.close()
+
+    # a task that already owns extra state must refuse ema_decay
+    import pytest as _pytest
+
+    from weatherforecastingtoolkit_tpu.training.trainer import Task
+    bad = Task(name="bad", init_params=task.init_params,
+               loss_fn=task.loss_fn, init_extra=lambda r, p: {"x": 0})
+    with _pytest.raises(ValueError):
+        Trainer(cfg, bad)
+
+
 def test_donated_train_step_matches(tmp_path):
     """trainer.donate=true (buffer-donated state) must produce bit-identical
     training to the non-donating step — donation only changes buffer reuse,

@@ -116,6 +116,23 @@ class Trainer:
     def __init__(self, cfg: Config, task: Task, mesh: Optional[jax.sharding.Mesh] = None,
                  run_id: Optional[str] = None, resume: bool = False):
         self.cfg = cfg
+        # trainer.ema_decay=d keeps an exponential moving average of the
+        # params as a shadow tree in TrainState.extra — updated inside the
+        # same jitted step (ema = d*ema + (1-d)*params), checkpointed and
+        # resumed with everything else. Serve/eval the smoothed weights via
+        # Trainer.ema_params(state).
+        self.ema_decay = cfg.trainer.get("ema_decay", None)
+        if self.ema_decay is not None:
+            if task.custom_train_step is not None or task.init_extra is not None:
+                raise ValueError(
+                    "trainer.ema_decay needs the default train step (the "
+                    "task already owns custom_train_step/extra state)")
+            # COPY the leaves: an aliased tree would be the same buffer
+            # donated twice when trainer.donate is on
+            task = dataclasses.replace(
+                task, init_extra=lambda rng, params: {
+                    "ema_params": jax.tree_util.tree_map(
+                        lambda p: jnp.array(p, copy=True), params)})
         self.task = task
         self.mesh = mesh
         self.total_steps = int(cfg.trainer.total_train_steps)
@@ -155,6 +172,15 @@ class Trainer:
         self._grad_fn = jax.jit(
             lambda params, batch, rng, step: jax.grad(
                 lambda p: self.task.loss_fn(p, batch, rng, step)[0])(params))
+
+    @staticmethod
+    def ema_params(state: TrainState):
+        """The EMA shadow weights when trainer.ema_decay is set, else the raw
+        params — the tree to SERVE/EVAL with (smoothed weights generalize
+        better late in training)."""
+        if isinstance(state.extra, dict) and "ema_params" in state.extra:
+            return state.extra["ema_params"]
+        return state.params
 
     # -- state ----------------------------------------------------------------
     def _init_state(self, rng: jax.Array) -> TrainState:
@@ -202,6 +228,7 @@ class Trainer:
         # with async checkpointing: orbax snapshots device->host
         # synchronously inside save(), before the next (donating) step runs.
         donate = (0,) if bool(self.cfg.trainer.get("donate", False)) else ()
+        ema_decay = float(self.ema_decay) if self.ema_decay is not None else None
         if self.task.custom_train_step is not None:
             custom = self.task.custom_train_step
 
@@ -223,8 +250,14 @@ class Trainer:
             aux = dict(aux)
             aux["loss"] = loss
             aux["grad_norm"] = global_norm(grads)
+            extra = state.extra
+            if ema_decay is not None:
+                extra = {"ema_params": jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.extra["ema_params"], params)}
             new_state = state.replace(step=state.step + 1, params=params,
-                                      opt_state=opt_state, rng=rng)
+                                      opt_state=opt_state, rng=rng,
+                                      extra=extra)
             return new_state, aux
 
         return train_step
