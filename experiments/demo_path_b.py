@@ -174,6 +174,11 @@ def main(argv=None):
     p.add_argument("--fc-lr", type=float, default=None,
                    help="stage-2 forecaster peak LR (default: 1e-3 for "
                         "dlinear, 5e-4 for the token_vit transformer)")
+    p.add_argument("--ema", type=float, default=0.0, metavar="D",
+                   help="D>0: keep an EMA shadow of the forecaster weights "
+                        "(ema = D*ema + (1-D)*params) through stages 2/2c; "
+                        "the EMA tree competes in the SELECTION-split "
+                        "checkpoint choice, so it only ships if it wins")
     p.add_argument("--fc-dim", type=int, default=128,
                    help="token_vit d_model (capacity knob)")
     p.add_argument("--fc-depth", type=int, default=2,
@@ -453,8 +458,16 @@ def main(argv=None):
     def encode_mode(vv, frames):
         return vae.apply(vv, frames, method=vae.encode).mode()
 
+    ema_d = float(args.ema)
+    fc_ema = (jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                     fc_vars) if ema_d > 0 else None)
+
+    def _ema_update(ema, params):
+        return jax.tree_util.tree_map(
+            lambda e, p: ema_d * e + (1.0 - ema_d) * p, ema, params)
+
     @jax.jit
-    def fc_step(vv, fc_vars, fc_opt, batch):
+    def fc_step(vv, fc_vars, fc_ema, fc_opt, batch):
         def loss_fn(fv):
             x = batch["vil"]
             b, t = x.shape[:2]
@@ -465,14 +478,30 @@ def main(argv=None):
             return jnp.mean((pred - (tgt - anchor)) ** 2)
         loss, grads = jax.value_and_grad(loss_fn)(fc_vars)
         updates, fc_opt2 = fc_tx.update(grads, fc_opt, fc_vars)
-        return optax.apply_updates(fc_vars, updates), fc_opt2, loss
+        new_vars = optax.apply_updates(fc_vars, updates)
+        if fc_ema is not None:
+            fc_ema = _ema_update(fc_ema, new_vars)
+        return new_vars, fc_ema, fc_opt2, loss
 
     t0 = time.time()
     for step in range(args.steps_fc):
-        fc_vars, fc_opt, loss = fc_step(vae_vars, fc_vars, fc_opt, next(it))
+        fc_vars, fc_ema, fc_opt, loss = fc_step(vae_vars, fc_vars, fc_ema,
+                                                fc_opt, next(it))
         if step % 50 == 0:
             print(f"[fc] step {step} latent_mse {float(loss):.5f}", flush=True)
     print(f"[fc] trained {args.steps_fc} steps in {time.time()-t0:.0f}s")
+    if fc_ema is not None:
+        # the shadow weights ship into stage 2b/2c only if they WIN on the
+        # selection split — same protocol as the stage-2c keep-best choice
+        w_raw, s_raw, *_ = evaluate("stage2(sel,raw)", vae_vars, fc_vars,
+                                    sel_batches, verbose=False)
+        w_ema, s_ema, *_ = evaluate("stage2(sel,ema)", vae_vars, fc_ema,
+                                    sel_batches, verbose=False)
+        print(f"[fc] selection: raw {w_raw}/5 {s_raw:+.4f} vs "
+              f"ema {w_ema}/5 {s_ema:+.4f}", flush=True)
+        if (w_ema, s_ema) > (w_raw, s_raw):
+            print("[fc] EMA weights win selection -> carried forward")
+            fc_vars = fc_ema
     evaluate("stage2", vae_vars, fc_vars, rep_batches)
 
     # -------------- stage 2b: sharpen the decoder on PREDICTED latents
@@ -505,7 +534,7 @@ def main(argv=None):
         e2e_opt = e2e_tx.init(fc_vars)
 
         @jax.jit
-        def e2e_step(vv, fv, opt, batch):
+        def e2e_step(vv, fv, ema, opt, batch):
             x = batch["vil"]
             b, t = x.shape[:2]
             z = jax.lax.stop_gradient(
@@ -527,27 +556,39 @@ def main(argv=None):
                 return total, (l1, csi, lat)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(fv)
             upd, opt = e2e_tx.update(grads, opt, fv)
-            return optax.apply_updates(fv, upd), opt, aux
+            new_fv = optax.apply_updates(fv, upd)
+            if ema is not None:
+                ema = _ema_update(ema, new_fv)
+            return new_fv, ema, opt, aux
 
-        best = (-1, -1e9, jax.device_get(fc_vars))  # (wins, score, params)
+        e2e_ema = (jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                          fc_vars) if ema_d > 0 else None)
+        # (wins, score, params, tag) — the EMA tree competes as a candidate
+        best = (-1, -1e9, jax.device_get(fc_vars), "init")
         t0 = time.time()
         for step in range(args.steps_e2e):
-            fc_vars, e2e_opt, aux = e2e_step(vae_vars, fc_vars, e2e_opt,
-                                             next(it))
+            fc_vars, e2e_ema, e2e_opt, aux = e2e_step(vae_vars, fc_vars,
+                                                      e2e_ema, e2e_opt,
+                                                      next(it))
             if step % 50 == 0:
                 print(f"[e2e] step {step} l1 {float(aux[0]):.4f} "
                       f"csi_loss {float(aux[1]):.4f} "
                       f"lat_mse {float(aux[2]):.5f}", flush=True)
             if (step + 1) % args.eval_every == 0 or step == args.steps_e2e - 1:
-                wins, score, *_ = evaluate(f"e2e@{step+1}(sel)", vae_vars,
-                                           fc_vars, sel_batches, verbose=False)
-                print(f"[e2e] step {step+1} selection wins {wins}/5 "
-                      f"score {score:+.4f}", flush=True)
-                if (wins, score) > best[:2]:
-                    best = (wins, score, jax.device_get(fc_vars))
+                cands = [("raw", fc_vars)]
+                if e2e_ema is not None:
+                    cands.append(("ema", e2e_ema))
+                for tag, cand in cands:
+                    wins, score, *_ = evaluate(f"e2e@{step+1}(sel,{tag})",
+                                               vae_vars, cand, sel_batches,
+                                               verbose=False)
+                    print(f"[e2e] step {step+1} selection({tag}) wins "
+                          f"{wins}/5 score {score:+.4f}", flush=True)
+                    if (wins, score) > best[:2]:
+                        best = (wins, score, jax.device_get(cand), tag)
         fc_vars = jax.device_put(best[2])
         print(f"[e2e] fine-tuned {args.steps_e2e} steps in {time.time()-t0:.0f}s;"
-              f" kept checkpoint with selection wins {best[0]}/5 "
+              f" kept {best[3]} checkpoint with selection wins {best[0]}/5 "
               f"score {best[1]:+.4f}")
 
     # ------------------------------------------ stage 3: final report
