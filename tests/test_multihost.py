@@ -94,6 +94,25 @@ for i, leaf in enumerate(jax.tree_util.tree_leaves(params1)):
     payload[f"dim{{i}}"] = np.asarray(spec.index("dp") if "dp" in spec else -1)
 np.savez({out_path!r}, **payload)
 print("RANK", {rank}, "loss", float(loss), flush=True)
+
+# -- multi-host sharded checkpoint: every process writes ITS shards, orbax
+# coordinates the barrier/finalize; restore comes back with the same
+# sharding and values (checked against the in-memory post-step tree)
+from weatherforecastingtoolkit_tpu.training.checkpoint import CheckpointManager
+
+mgr = CheckpointManager({ckpt_dir!r}, async_save=True)
+mgr.save(1, params1)
+mgr.wait_until_finished()
+restored = mgr.restore(jax.tree_util.tree_map(
+    lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                      sharding=leaf.sharding), params1))
+for a, b in zip(jax.tree_util.tree_leaves(params1),
+                jax.tree_util.tree_leaves(restored)):
+    assert a.sharding == b.sharding, (a.sharding, b.sharding)
+    np.testing.assert_array_equal(np.asarray(a.addressable_shards[0].data),
+                                  np.asarray(b.addressable_shards[0].data))
+mgr.close()
+print("RANK", {rank}, "SHARDED_CKPT_OK", flush=True)
 """
 
 
@@ -167,18 +186,23 @@ def test_two_process_fsdp_step_matches_single_process(tmp_path):
     the two post-step param shards must reproduce a plain single-device
     step from the same init."""
     coord = f"localhost:{_free_port()}"
+    ckpt_dir = str(tmp_path / "shared_ckpt")  # one dir, both ranks write
     procs, outs = [], []
     for r in range(2):
         out_path = str(tmp_path / f"fsdp_rank{r}.npz")
         outs.append(out_path)
         code = CHILD_FSDP.format(repo=REPO, coord=coord, rank=r,
-                                 out_path=out_path)
+                                 out_path=out_path, ckpt_dir=ckpt_dir)
         procs.append(subprocess.Popen(
             [sys.executable, "-c", code], stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True, cwd=REPO))
+    child_logs = []
     for p in procs:
         out, _ = p.communicate(timeout=540)
+        child_logs.append(out)
         assert p.returncode == 0, f"fsdp child failed:\n{out[-4000:]}"
+        assert "SHARDED_CKPT_OK" in out, (
+            f"multi-host sharded checkpoint failed:\n{out[-4000:]}")
 
     a = np.load(outs[0])
     b = np.load(outs[1])
