@@ -120,7 +120,9 @@ class Trainer:
         # params as a shadow tree in TrainState.extra — updated inside the
         # same jitted step (ema = d*ema + (1-d)*params), checkpointed and
         # resumed with everything else. Serve/eval the smoothed weights via
-        # Trainer.ema_params(state).
+        # Trainer.ema_params(state). The decay ticks once per MICRO-step:
+        # under accumulate_grad_batches=k, params change only every k-th
+        # step (MultiSteps), so pick d with k*total_updates steps in mind.
         self.ema_decay = cfg.trainer.get("ema_decay", None)
         if self.ema_decay is not None:
             if task.custom_train_step is not None or task.init_extra is not None:
