@@ -463,8 +463,7 @@ def main(argv=None):
                                      fc_vars) if ema_d > 0 else None)
 
     def _ema_update(ema, params):
-        return jax.tree_util.tree_map(
-            lambda e, p: ema_d * e + (1.0 - ema_d) * p, ema, params)
+        return optax.incremental_update(params, ema, step_size=1.0 - ema_d)
 
     @jax.jit
     def fc_step(vv, fc_vars, fc_ema, fc_opt, batch):

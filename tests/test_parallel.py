@@ -435,6 +435,35 @@ def test_fsdp_train_step_matches_single_device(rng):
     assert shard_fraction(opt2) < 0.5  # mu/nu sharded; counts replicated
 
 
+def test_fsdp_init_sharded_never_materializes_full(rng):
+    """init_sharded creates every leaf ALREADY sharded (jit out_shardings):
+    values match the plain init bit-for-bit, and big leaves are split."""
+    import optax
+
+    from weatherforecastingtoolkit_tpu.models.conv_ae import PosAwareAE
+    from weatherforecastingtoolkit_tpu.parallel.fsdp import (init_sharded,
+                                                             shard_fraction)
+
+    model = PosAwareAE(enc_channels=(8, 16), dec_channels=(16, 8, 8),
+                       num_blocks=1, latent_hw=8, latent_channels=4,
+                       latent_dim=512)
+    tx = optax.adamw(1e-3)
+
+    def init_fn(rng_key):
+        params = model.init(rng_key, jnp.zeros((1, 1, 32, 32)))
+        return {"params": params, "opt": tx.init(params)}
+
+    mesh = make_mesh(("dp",))
+    sharded = init_sharded(init_fn, jax.random.key(0), mesh,
+                           min_shard_elems=1)
+    plain = init_fn(jax.random.key(0))
+    for a, b in zip(jax.tree_util.tree_leaves(sharded),
+                    jax.tree_util.tree_leaves(plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert shard_fraction(sharded["params"]) < 0.35
+    assert shard_fraction(sharded["opt"]) < 0.5
+
+
 def test_trainer_fsdp_flag(tmp_path, rng):
     """Trainer with trainer.fsdp=true trains on the mesh with sharded state."""
     from weatherforecastingtoolkit_tpu.data.datamodule import SEVIRDataModule

@@ -141,6 +141,51 @@ def test_ema_shadow_params(tmp_path):
         Trainer(cfg, bad)
 
 
+def test_ema_toggle_resume_fallback(tmp_path):
+    """Turning ema_decay on (or off) mid-run must NOT lose the run: resume
+    seeds the shadow from restored params (on) or drops it (off) instead of
+    classifying every checkpoint as a template mismatch."""
+    model = PosAwareAE(enc_channels=(8, 8), dec_channels=(8, 8, 8),
+                       num_blocks=1, latent_hw=8, latent_channels=2,
+                       latent_dim=32)
+
+    def cfg_for(ema):
+        return Config({
+            "experiment_name": "ema_toggle", "experiment_path": str(tmp_path),
+            "seed": 0,
+            "optim": {"lr": 1e-3, "schedule": "constant"},
+            "trainer": {"max_epochs": 1, "total_train_steps": 2,
+                        "save_every_n_steps": 1.0, "ema_decay": ema},
+            "logging": {"log_every_n_steps": 10, "val_every_n": 10.0},
+        })
+
+    x = np.random.default_rng(0).random((2, 2, 1, 32, 32)).astype(np.float32)
+    batches = [{"vil": jnp.asarray(x)} for _ in range(2)]
+
+    # run WITHOUT ema, checkpoint
+    tr = Trainer(cfg_for(None), reconstruction_task(model))
+    s = tr.fit(batches, state=tr.init_state())
+    assert s.extra is None
+    tr.close()
+
+    # resume WITH ema: shadow seeded from restored params at the saved step
+    tr2 = Trainer(cfg_for(0.9), reconstruction_task(model), resume=True)
+    s2 = tr2.init_state()
+    assert int(s2.step) == int(s.step)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.extra["ema_params"]),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2 = tr2.fit(batches, state=s2)  # trains + saves WITH the shadow
+    tr2.close()
+
+    # resume WITHOUT ema again: shadow dropped, step preserved
+    tr3 = Trainer(cfg_for(None), reconstruction_task(model), resume=True)
+    s3 = tr3.init_state()
+    assert int(s3.step) == int(s2.step)
+    assert s3.extra is None
+    tr3.close()
+
+
 def test_donated_train_step_matches(tmp_path):
     """trainer.donate=true (buffer-donated state) must produce bit-identical
     training to the non-donating step — donation only changes buffer reuse,

@@ -91,6 +91,18 @@ def shard_train_state(state, mesh: Mesh, axis: str = "dp",
     )
 
 
+def init_sharded(init_fn, rng, mesh: Mesh, axis: str = "dp",
+                 min_shard_elems: int = MIN_SHARD_ELEMS):
+    """Run `init_fn(rng)` jitted with FSDP out_shardings, so every leaf is
+    CREATED already sharded — the full replicated state never materializes
+    on any single device (which is the regime FSDP exists for: replicated
+    params + optimizer moments exceeding one chip's HBM)."""
+    abstract = jax.eval_shape(init_fn, rng)
+    shardings = jax.tree_util.tree_map(
+        lambda a: fsdp_sharding(a, mesh, axis, min_shard_elems), abstract)
+    return jax.jit(init_fn, out_shardings=shardings)(rng)
+
+
 def shard_fraction(tree: Any) -> float:
     """Bytes of `tree` resident on the first device / total bytes — the
     memory-saving evidence (1.0 when replicated, ~1/N when fully sharded)."""

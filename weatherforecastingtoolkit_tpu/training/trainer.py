@@ -141,12 +141,38 @@ class Trainer:
         self.tx, self.schedule = build_optimizer(cfg, self.total_steps)
         self.resume = resume
         self._resume_state = None
+        self.preempted = False  # set by fit()'s SIGTERM handler
 
         exp_path = cfg.get("experiment_path", ".")
         exp_name = cfg.get("experiment_name", task.name)
         if resume:
             template = self._init_state(jax.random.key(int(cfg.get("seed", 0))))
             restored, found_id, step = find_latest_ckpt(exp_path, exp_name, template)
+            if restored is None and self.ema_decay is not None:
+                # ema_decay was turned ON mid-run: older checkpoints lack the
+                # ema_params tree. Retry without it and seed the shadow from
+                # the restored params instead of losing the run.
+                restored, found_id, step = find_latest_ckpt(
+                    exp_path, exp_name, template.replace(extra=None))
+                if restored is not None:
+                    print("[trainer] checkpoint predates ema_decay: seeding "
+                          "ema_params from restored params")
+                    restored = restored.replace(extra={
+                        "ema_params": jax.tree_util.tree_map(
+                            lambda p: jnp.array(p, copy=True),
+                            restored.params)})
+            elif restored is None and self.ema_decay is None and \
+                    self.task.init_extra is None:
+                # ema_decay was turned OFF mid-run: checkpoints carry an
+                # ema_params tree the template lacks. Restore with it, then
+                # drop the shadow.
+                restored, found_id, step = find_latest_ckpt(
+                    exp_path, exp_name, template.replace(extra={
+                        "ema_params": template.params}))
+                if restored is not None:
+                    print("[trainer] checkpoint carries ema_params but "
+                          "ema_decay is off: dropping the shadow tree")
+                    restored = restored.replace(extra=None)
             if restored is not None:
                 print(f"[trainer] resuming run {found_id} at step {step}")
                 self._resume_state = restored
@@ -195,19 +221,27 @@ class Trainer:
                           extra=extra)
 
     def init_state(self) -> TrainState:
+        fsdp = self.mesh is not None and bool(self.cfg.trainer.get("fsdp", False))
         if self._resume_state is not None:
             state = self._resume_state
+        elif fsdp:
+            # initialize DIRECTLY sharded (jit with out_shardings): the full
+            # replicated state never exists on one device — the regime FSDP
+            # targets is exactly the one where it would not fit
+            from ..parallel.fsdp import init_sharded
+            state = init_sharded(self._init_state,
+                                 jax.random.key(int(self.cfg.get("seed", 0))),
+                                 self.mesh, axis="dp")
         else:
             state = self._init_state(jax.random.key(int(self.cfg.get("seed", 0))))
         if self.mesh is not None:
-            if bool(self.cfg.trainer.get("fsdp", False)):
-                # fully-sharded (ZeRO-3 style): params + optimizer state
-                # sharded over 'dp'; GSPMD all-gathers weights on use and
-                # reduce-scatters gradients (parallel/fsdp.py)
+            if fsdp and self._resume_state is not None:
+                # resumed state arrives single-device from orbax: reshard
                 from ..parallel.fsdp import shard_train_state
                 state = shard_train_state(state, self.mesh, axis="dp")
-            elif self._resume_state is None:
-                # replicate across the mesh; batches get sharded over 'dp'
+            elif not fsdp:
+                # replicate across the mesh (fresh AND resumed states);
+                # batches get sharded over 'dp'
                 rep = jax.sharding.NamedSharding(
                     self.mesh, jax.sharding.PartitionSpec())
                 state = jax.device_put(state, rep)
@@ -254,9 +288,9 @@ class Trainer:
             aux["grad_norm"] = global_norm(grads)
             extra = state.extra
             if ema_decay is not None:
-                extra = {"ema_params": jax.tree_util.tree_map(
-                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                    state.extra["ema_params"], params)}
+                extra = {"ema_params": optax.incremental_update(
+                    params, state.extra["ema_params"],
+                    step_size=1.0 - ema_decay)}
             new_state = state.replace(step=state.step + 1, params=params,
                                       opt_state=opt_state, rng=rng,
                                       extra=extra)
@@ -308,6 +342,7 @@ class Trainer:
         # (Handlers only install in the main thread; elsewhere this is a no-op.)
         self.preempted = False
         prev_handler = None
+        handler_installed = False
         if bool(cfg.trainer.get("checkpoint_on_preempt", True)):
             import signal as _signal
 
@@ -316,66 +351,77 @@ class Trainer:
 
             try:
                 prev_handler = _signal.signal(_signal.SIGTERM, _on_term)
+                handler_installed = True
             except ValueError:  # not the main thread
-                prev_handler = None
+                pass
 
         step = start_step
         t_last = time.time()
         done = False
-        for epoch in range(epochs):
-            if done:
-                break
-            if overfit_cache is not None:
-                batches = overfit_cache
-                n_batches = len(overfit_cache)
-            else:
-                if hasattr(train_loader, "set_epoch"):
-                    train_loader.set_epoch(epoch)
-                n_batches = len(train_loader)
-                if limit is not None:
-                    n_batches = (int(n_batches * float(limit)) if limit <= 1
-                                 else int(limit))
-                batches = device_prefetch(train_loader, sharding=sharding)
-            for i, batch in enumerate(batches):
-                if i >= n_batches:
+        last_saved = None  # step of the most recent periodic save
+        try:
+            for epoch in range(epochs):
+                if done:
                     break
-                state, aux = self._train_step(state, batch)
-                step = int(state.step)
-                updates = step // accum  # optimizer updates so far
-                if hist_every is not None and step % hist_every == 0:
-                    self._log_param_histograms(state, batch, step)
-                if step % log_every == 0:
-                    aux = {k: float(v) for k, v in jax.device_get(aux).items()}
-                    # the schedule advances once per optimizer update
-                    aux["lr"] = float(self.schedule(updates)) \
-                        if callable(self.schedule) else float(self.schedule)
-                    aux["steps_per_sec"] = log_every / max(1e-9, time.time() - t_last)
-                    t_last = time.time()
-                    self.logger.log_scalars(aux, step, prefix="train")
-                if step % save_every == 0:
-                    # pass device arrays: orbax snapshots them (D2H copy) at
-                    # call time and, under async_checkpoint, writes to disk on
-                    # its background thread while training continues
-                    self.ckpt.save(step, state)
-                if val_loader is not None and step % val_every == 0:
-                    # panels on the first val batch each cycle (the reference
-                    # logs VIL image panels at validation intervals)
-                    self.validate(state, val_loader, step, log_images=True)
-                if self.preempted:
-                    print(f"[trainer] SIGTERM at step {step}: writing "
-                          "preemption checkpoint and stopping")
-                    done = True
-                    break
-                if updates >= self.total_steps:
-                    done = True
-                    break
-        # save_last semantics (force=True drains any in-flight async write
-        # first, so the final checkpoint always lands — including the
-        # preemption checkpoint)
-        self.ckpt.save(max(step, 1), state, force=True)
-        if prev_handler is not None:
-            import signal as _signal
-            _signal.signal(_signal.SIGTERM, prev_handler)
+                if overfit_cache is not None:
+                    batches = overfit_cache
+                    n_batches = len(overfit_cache)
+                else:
+                    if hasattr(train_loader, "set_epoch"):
+                        train_loader.set_epoch(epoch)
+                    n_batches = len(train_loader)
+                    if limit is not None:
+                        n_batches = (int(n_batches * float(limit)) if limit <= 1
+                                     else int(limit))
+                    batches = device_prefetch(train_loader, sharding=sharding)
+                for i, batch in enumerate(batches):
+                    if i >= n_batches:
+                        break
+                    state, aux = self._train_step(state, batch)
+                    step = int(state.step)
+                    updates = step // accum  # optimizer updates so far
+                    if hist_every is not None and step % hist_every == 0:
+                        self._log_param_histograms(state, batch, step)
+                    if step % log_every == 0:
+                        aux = {k: float(v) for k, v in jax.device_get(aux).items()}
+                        # the schedule advances once per optimizer update
+                        aux["lr"] = float(self.schedule(updates)) \
+                            if callable(self.schedule) else float(self.schedule)
+                        aux["steps_per_sec"] = log_every / max(1e-9, time.time() - t_last)
+                        t_last = time.time()
+                        self.logger.log_scalars(aux, step, prefix="train")
+                    if step % save_every == 0:
+                        # pass device arrays: orbax snapshots them (D2H copy)
+                        # at call time and, under async_checkpoint, writes to
+                        # disk on its background thread while training runs
+                        self.ckpt.save(step, state)
+                        last_saved = step
+                    if val_loader is not None and step % val_every == 0:
+                        # panels on the first val batch each cycle (the
+                        # reference logs VIL panels at validation intervals)
+                        self.validate(state, val_loader, step, log_images=True)
+                    if self.preempted:
+                        print(f"[trainer] SIGTERM at step {step}: writing "
+                              "preemption checkpoint and stopping")
+                        done = True
+                        break
+                    if updates >= self.total_steps:
+                        done = True
+                        break
+            # save_last semantics. Skip the rewrite when the periodic save
+            # just wrote this exact step (same state — no steps in between);
+            # either way DRAIN before returning, so the final/preemption
+            # checkpoint is durably on disk even if the process exits (or the
+            # preemption grace period expires) right after fit().
+            if last_saved != max(step, 1):
+                self.ckpt.save(max(step, 1), state, force=True)
+            self.ckpt.wait_until_finished()
+        finally:
+            if handler_installed:
+                import signal as _signal
+                _signal.signal(_signal.SIGTERM,
+                               prev_handler if prev_handler is not None
+                               else _signal.SIG_DFL)
         return state
 
     def _log_param_histograms(self, state: TrainState, batch, step: int
