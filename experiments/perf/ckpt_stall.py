@@ -103,8 +103,8 @@ def main():
         state, aux = step(state, batch)
         float(aux["loss"])
         overlapped += 1
-        # wait_until_finished would block; probe via the manager's internals
-        if not async_mgr._mgr.is_saving_in_progress():
+        # wait_until_finished would block; probe the public passthrough
+        if not async_mgr.is_saving_in_progress():
             break
         if time.time() - t0 > 120:
             break

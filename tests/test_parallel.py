@@ -501,6 +501,23 @@ def test_trainer_fsdp_flag(tmp_path, rng):
     assert int(state.step) >= 1
     trainer.close()
 
+    # FSDP resume restores each leaf DIRECTLY into its shard via the abstract
+    # template — the full replicated state never materializes on one device
+    # (the regime FSDP exists for). Values must round-trip exactly.
+    tr2 = Trainer(cfg, reconstruction_task(model), mesh=mesh, resume=True)
+    assert tr2._resume_state is not None and tr2._resume_sharded
+    s2 = tr2.init_state()
+    assert int(s2.step) == int(state.step)
+    assert shard_fraction(s2.params) < 0.6  # restored sharded, not replicated
+    from weatherforecastingtoolkit_tpu.parallel.fsdp import fsdp_sharding
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        # restored leaves land on the FSDP template sharding (the live step's
+        # output sharding may differ — GSPMD is free to re-shard jit outputs)
+        assert b.sharding == fsdp_sharding(b, mesh), b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr2.close()
+
 
 def test_member_parallel_ensemble_matches_unsharded(rng):
     """N=8 ensemble members sharded over the 8-device mesh must reproduce the

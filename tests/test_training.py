@@ -141,6 +141,54 @@ def test_ema_shadow_params(tmp_path):
         Trainer(cfg, bad)
 
 
+def test_ema_ticks_on_real_updates_under_accumulation(tmp_path):
+    """With accumulate_grad_batches=k the params change only every k-th
+    micro-step (optax MultiSteps); the EMA must tick exactly once per REAL
+    optimizer update — never averaging in k-1 stale self-copies — pinned
+    against a manual recursion that updates only on the k-step boundary."""
+    model = PosAwareAE(enc_channels=(8, 8), dec_channels=(8, 8, 8),
+                       num_blocks=1, latent_hw=8, latent_channels=2,
+                       latent_dim=32)
+    d, k, micro_steps = 0.5, 4, 8  # 2 real updates
+    cfg = Config({
+        "experiment_name": "ema_accum", "experiment_path": str(tmp_path),
+        "seed": 0,
+        "optim": {"lr": 1e-2, "schedule": "constant"},
+        "trainer": {"max_epochs": 1, "total_train_steps": 2,
+                    "accumulate_grad_batches": k,
+                    "save_every_n_steps": 1.0, "ema_decay": d},
+        "logging": {"log_every_n_steps": 10, "val_every_n": 10.0},
+    })
+    tr = Trainer(cfg, reconstruction_task(model))
+    state = tr.init_state()
+    manual = jax.device_get(state.params)
+    rng = np.random.default_rng(0)
+    s = state
+    for i in range(micro_steps):
+        batch = {"vil": jnp.asarray(
+            rng.random((2, 2, 1, 32, 32)).astype(np.float32))}
+        prev_params = jax.device_get(s.params)
+        s, _ = tr._train_step(s, batch)
+        if (i + 1) % k == 0:  # real update boundary
+            # params actually changed here ...
+            moved = any(not np.allclose(a, np.asarray(b)) for a, b in zip(
+                jax.tree_util.tree_leaves(prev_params),
+                jax.tree_util.tree_leaves(s.params)))
+            assert moved
+            manual = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1 - d) * np.asarray(p),
+                manual, jax.device_get(s.params))
+        else:
+            # ... and did NOT change on intermediate micro-steps
+            for a, b in zip(jax.tree_util.tree_leaves(prev_params),
+                            jax.tree_util.tree_leaves(s.params)):
+                np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s.extra["ema_params"]),
+                    jax.tree_util.tree_leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-6, atol=1e-7)
+    tr.close()
+
+
 def test_ema_toggle_resume_fallback(tmp_path):
     """Turning ema_decay on (or off) mid-run must NOT lose the run: resume
     seeds the shadow from restored params (on) or drops it (off) instead of

@@ -78,6 +78,18 @@ class CheckpointManager:
     def all_steps(self):
         return self._mgr.all_steps()
 
+    def metadata(self, step: int):
+        """On-disk pytree metadata (shapes/dtypes, no data read) for `step`."""
+        return self._mgr.item_metadata(step)
+
+    def is_saving_in_progress(self) -> bool:
+        """True while an async save is still writing on the background thread
+        (public passthrough so perf probes don't reach into orbax internals)."""
+        fn = getattr(self._mgr, "is_saving_in_progress", None)
+        if fn is not None:
+            return bool(fn())
+        return False
+
     def wait_until_finished(self):
         self._mgr.wait_until_finished()
 
@@ -86,11 +98,40 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def find_latest_ckpt(experiment_path: str, experiment_name: str, target: Any
+def _tree_signature(tree: Any) -> set:
+    """Normalized key-path set of a pytree, for structural comparison between
+    a resume template (TrainState of real arrays or ShapeDtypeStructs) and
+    orbax's on-disk metadata (nested dicts). Attribute, dict and sequence
+    keys all normalize to their bare name/index so the two shapes of the
+    same tree compare equal."""
+    paths = set()
+    for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        toks = []
+        for k in path:
+            name = getattr(k, "name", None)
+            if name is None:
+                name = getattr(k, "key", None)
+            if name is None:
+                name = getattr(k, "idx", None)
+            toks.append(str(name) if name is not None else str(k))
+        paths.add("/".join(toks))
+    return paths
+
+
+def find_latest_ckpt(experiment_path: str, experiment_name: str, target: Any,
+                     alternates: Tuple = (),
                      ) -> Tuple[Optional[Any], Optional[str], Optional[int]]:
     """Scan every run's checkpoints newest-first; return the first one that
     actually restores: (state, run_id, step). Corrupt checkpoints are skipped
-    (the reference's try-load tolerance, pipeline/helpers.py:294-299)."""
+    (the reference's try-load tolerance, pipeline/helpers.py:294-299).
+
+    `alternates` is a sequence of (template, convert_fn) pairs tried on EACH
+    candidate after `target` fails, newest candidate first — so a run whose
+    newest checkpoint was written under a different-but-convertible state
+    shape (e.g. ema_decay toggled mid-run) resumes from that newest step via
+    `convert_fn(restored) -> target-shaped state`, instead of silently
+    falling back to an older checkpoint that happens to match `target`.
+    """
     base = os.path.join(experiment_path, "outputs", experiment_name, "runs")
     if not os.path.isdir(base):
         return None, None, None
@@ -108,29 +149,50 @@ def find_latest_ckpt(experiment_path: str, experiment_name: str, target: Any
                                    os.path.join(base, d), int(item)))
     candidates.sort(reverse=True)
 
+    templates = [(target, None)] + list(alternates)
+    target_sig = _tree_signature(target)
     mismatches = []
     for _, run_id, run_dir, step in candidates:
         try:
             mgr = CheckpointManager(run_dir)
-            state = mgr.restore(target, step=step)
-            mgr.close()
-            return state, run_id, step
-        except Exception as e:  # noqa: BLE001 — classify, don't swallow silently
-            # Distinguish "the saved tree doesn't match the resume template"
-            # (a code/config bug — e.g. a task whose extra isn't in the
-            # template) from genuine corruption. Both are skipped, but
-            # mismatches get a loud diagnostic instead of a silent restart.
-            text = f"{type(e).__name__}: {e}"
-            low = text.lower()
-            structural = any(s in low for s in
-                             ("structure", "mismatch", "treedef", "custom node",
-                              "not found in structure", "pytree"))
-            kind = "TEMPLATE MISMATCH" if structural else "corrupt/unreadable"
-            print(f"[ckpt] skipping run-{run_id} step {step}: {kind} "
-                  f"({text.splitlines()[0][:200]})")
-            if structural:
-                mismatches.append((run_id, step, text))
+        except Exception as e:  # noqa: BLE001
+            print(f"[ckpt] skipping run-{run_id}: unreadable checkpoint dir "
+                  f"({type(e).__name__}: {e})")
             continue
+        first_err = None
+        restored = None
+        for tmpl, convert in templates:
+            try:
+                state = mgr.restore(tmpl, step=step)
+                restored = convert(state) if convert is not None else state
+                break
+            except Exception as e:  # noqa: BLE001 — try the next template
+                if first_err is None:
+                    first_err = e
+        if restored is not None:
+            mgr.close()
+            return restored, run_id, step
+        # Every template failed: distinguish "the saved tree doesn't match
+        # the resume template" (a code/config structure change) from genuine
+        # corruption — by exception TYPE plus an explicit tree-structure
+        # comparison against the on-disk metadata, not message substrings.
+        text = f"{type(first_err).__name__}: {first_err}"
+        structural = False
+        try:
+            structural = _tree_signature(mgr.metadata(step)) != target_sig
+        except Exception:  # noqa: BLE001 — metadata unreadable == corruption
+            structural = False
+        if not structural and isinstance(first_err, (ValueError, TypeError)):
+            # same key paths but restore still refused (shape/dtype change):
+            # StandardRestore raises ValueError/TypeError for these, IO-level
+            # corruption surfaces as OSError/tensorstore errors
+            structural = True
+        mgr.close()
+        kind = "TEMPLATE MISMATCH" if structural else "corrupt/unreadable"
+        print(f"[ckpt] skipping run-{run_id} step {step}: {kind} "
+              f"({text.splitlines()[0][:200]})")
+        if structural:
+            mismatches.append((run_id, step, text))
     if mismatches:
         print("[ckpt] WARNING: checkpoints exist but NONE match the resume "
               "template — this is a model/optimizer/task structure change, "

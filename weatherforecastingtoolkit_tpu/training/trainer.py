@@ -120,9 +120,10 @@ class Trainer:
         # params as a shadow tree in TrainState.extra — updated inside the
         # same jitted step (ema = d*ema + (1-d)*params), checkpointed and
         # resumed with everything else. Serve/eval the smoothed weights via
-        # Trainer.ema_params(state). The decay ticks once per MICRO-step:
-        # under accumulate_grad_batches=k, params change only every k-th
-        # step (MultiSteps), so pick d with k*total_updates steps in mind.
+        # Trainer.ema_params(state). The decay ticks once per OPTIMIZER
+        # UPDATE: under accumulate_grad_batches=k, params change only every
+        # k-th micro-step (MultiSteps), and the EMA update is gated on that
+        # same boundary, so d is always per-real-update regardless of k.
         self.ema_decay = cfg.trainer.get("ema_decay", None)
         if self.ema_decay is not None:
             if task.custom_train_step is not None or task.init_extra is not None:
@@ -145,34 +146,51 @@ class Trainer:
 
         exp_path = cfg.get("experiment_path", ".")
         exp_name = cfg.get("experiment_name", task.name)
+        self._resume_sharded = False
         if resume:
-            template = self._init_state(jax.random.key(int(cfg.get("seed", 0))))
-            restored, found_id, step = find_latest_ckpt(exp_path, exp_name, template)
-            if restored is None and self.ema_decay is not None:
-                # ema_decay was turned ON mid-run: older checkpoints lack the
-                # ema_params tree. Retry without it and seed the shadow from
-                # the restored params instead of losing the run.
-                restored, found_id, step = find_latest_ckpt(
-                    exp_path, exp_name, template.replace(extra=None))
-                if restored is not None:
+            seed_key = jax.random.key(int(cfg.get("seed", 0)))
+            fsdp = mesh is not None and bool(cfg.trainer.get("fsdp", False))
+            if fsdp:
+                # FSDP resume must restore each leaf DIRECTLY into its shard:
+                # an abstract template (eval_shape) with fsdp shardings means
+                # the full replicated state never materializes on one device
+                # — exactly the regime (state > one chip's HBM) FSDP is for.
+                from ..parallel.fsdp import fsdp_sharding
+                abstract = jax.eval_shape(self._init_state, seed_key)
+                template = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(
+                        a.shape, a.dtype, sharding=fsdp_sharding(a, mesh)),
+                    abstract)
+                self._resume_sharded = True
+            else:
+                template = self._init_state(seed_key)
+            # ema_decay toggled mid-run must not lose the run — and must not
+            # fall back to an OLDER checkpoint that happens to match the
+            # template when the newest one is convertible. Alternates are
+            # tried per-candidate (newest first) inside find_latest_ckpt.
+            alternates = []
+            if self.ema_decay is not None:
+                # older checkpoints may predate ema_decay (no ema_params
+                # tree): restore without it, seed the shadow from params
+                def _seed_ema(restored):
                     print("[trainer] checkpoint predates ema_decay: seeding "
                           "ema_params from restored params")
-                    restored = restored.replace(extra={
+                    return restored.replace(extra={
                         "ema_params": jax.tree_util.tree_map(
                             lambda p: jnp.array(p, copy=True),
                             restored.params)})
-            elif restored is None and self.ema_decay is None and \
-                    self.task.init_extra is None:
-                # ema_decay was turned OFF mid-run: checkpoints carry an
-                # ema_params tree the template lacks. Restore with it, then
-                # drop the shadow.
-                restored, found_id, step = find_latest_ckpt(
-                    exp_path, exp_name, template.replace(extra={
-                        "ema_params": template.params}))
-                if restored is not None:
+                alternates.append((template.replace(extra=None), _seed_ema))
+            elif self.task.init_extra is None:
+                # newer checkpoints may carry an ema_params tree the template
+                # lacks (ema_decay turned off): restore with it, then drop it
+                def _drop_ema(restored):
                     print("[trainer] checkpoint carries ema_params but "
                           "ema_decay is off: dropping the shadow tree")
-                    restored = restored.replace(extra=None)
+                    return restored.replace(extra=None)
+                alternates.append((template.replace(extra={
+                    "ema_params": template.params}), _drop_ema))
+            restored, found_id, step = find_latest_ckpt(
+                exp_path, exp_name, template, alternates=tuple(alternates))
             if restored is not None:
                 print(f"[trainer] resuming run {found_id} at step {step}")
                 self._resume_state = restored
@@ -235,8 +253,10 @@ class Trainer:
         else:
             state = self._init_state(jax.random.key(int(self.cfg.get("seed", 0))))
         if self.mesh is not None:
-            if fsdp and self._resume_state is not None:
-                # resumed state arrives single-device from orbax: reshard
+            if fsdp and self._resume_state is not None and not self._resume_sharded:
+                # resumed state arrived single-device (e.g. injected by a
+                # test): reshard. The resume path itself restores directly
+                # into shards via the abstract template (_resume_sharded).
                 from ..parallel.fsdp import shard_train_state
                 state = shard_train_state(state, self.mesh, axis="dp")
             elif not fsdp:
@@ -265,6 +285,7 @@ class Trainer:
         # synchronously inside save(), before the next (donating) step runs.
         donate = (0,) if bool(self.cfg.trainer.get("donate", False)) else ()
         ema_decay = float(self.ema_decay) if self.ema_decay is not None else None
+        accum = max(1, int(self.cfg.trainer.get("accumulate_grad_batches", 1)))
         if self.task.custom_train_step is not None:
             custom = self.task.custom_train_step
 
@@ -288,9 +309,19 @@ class Trainer:
             aux["grad_norm"] = global_norm(grads)
             extra = state.extra
             if ema_decay is not None:
-                extra = {"ema_params": optax.incremental_update(
+                ema_next = optax.incremental_update(
                     params, state.extra["ema_params"],
-                    step_size=1.0 - ema_decay)}
+                    step_size=1.0 - ema_decay)
+                if accum > 1:
+                    # MultiSteps applies the real update on every accum-th
+                    # micro-step; the EMA ticks on that same boundary, so the
+                    # shadow never averages in k-1 stale self-copies per
+                    # update (decay stays per-OPTIMIZER-update under any k)
+                    applied = (state.step + 1) % accum == 0
+                    ema_next = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(applied, new, old),
+                        ema_next, state.extra["ema_params"])
+                extra = {"ema_params": ema_next}
             new_state = state.replace(step=state.step + 1, params=params,
                                       opt_state=opt_state, rng=rng,
                                       extra=extra)
