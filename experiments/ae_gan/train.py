@@ -85,6 +85,11 @@ def build_task(cfg, dm):
         recon_weight=cfg.lpips.get("recon_weight", 1.0),
         perceptual_apply=perceptual_apply,
         perceptual_weight=cfg.lpips.get("perceptual_weight", 0.0),
+        # weight-free perceptual term (PatchGAN feature matching) — fills the
+        # role the reference's LPIPS plays (contperceptual.py:103-106)
+        # without pretrained VGG weights; on by default via config
+        disc_feats_apply=lambda p, f: disc.apply(p, f, return_features=True),
+        feature_matching_weight=cfg.lpips.get("feature_matching_weight", 0.0),
         kl_weight=cfg.lpips.get("kl_weight", None),
         disc_weight=cfg.lpips.disc_weight,
         disc_factor=cfg.lpips.get("disc_factor", 1.0),

@@ -201,3 +201,74 @@ def test_gan_nll_is_per_sample_sum(gan_setup, rng):
     elems_per_sample = 1 * 32 * 32  # per frame; batch axis is B*T
     assert float(aux["nll_loss"]) == pytest.approx(per_elem * elems_per_sample,
                                                    rel=1e-5)
+
+
+def test_feature_matching_perceptual_loss(rng):
+    """Weight-free perceptual term (PatchGAN feature matching): zero for
+    identical inputs, positive otherwise; inside the task it adds gradient
+    signal to the GENERATOR while leaving the discriminator's training
+    untouched (stop_gradient) — the LPIPS role (contperceptual.py:103-106)
+    without pretrained VGG weights."""
+    from weatherforecastingtoolkit_tpu.models.losses.gan import (
+        feature_matching_distance)
+
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=2)
+    x = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+    y = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+    dvars = disc.init(jax.random.key(0), x)
+    logits, feats = disc.apply(dvars, x, return_features=True)
+    # taps: one per conv level (n_layers + stride-1 head)
+    assert len(feats) == 3
+    # plain call unchanged
+    np.testing.assert_array_equal(np.asarray(disc.apply(dvars, x)),
+                                  np.asarray(logits))
+    _, feats_y = disc.apply(dvars, y, return_features=True)
+    d_same = feature_matching_distance(feats, feats)
+    d_diff = feature_matching_distance(feats, feats_y)
+    assert d_same.shape == (2, 1, 1, 1)
+    np.testing.assert_array_equal(np.asarray(d_same), 0.0)
+    assert np.all(np.asarray(d_diff) > 0)
+
+    # end-to-end: the task with feature_matching_weight>0 carries an fm_loss
+    # aux, a larger rec objective, and different generator gradients
+    gen = PosAwareAE(enc_channels=(8, 16), dec_channels=(16, 8, 8),
+                     num_blocks=1, latent_hw=8, latent_channels=4,
+                     latent_dim=32)
+
+    def build(fm_w):
+        return make_vae_gan_task(
+            name="gan_fm",
+            generator_apply=lambda p, f, r: (gen.apply(p, f)[0], None),
+            gen_init=lambda r: gen.init(r, jnp.zeros((1, 1, 32, 32))),
+            disc_apply=lambda p, f: disc.apply(p, f),
+            disc_init=lambda r: disc.init(r, jnp.zeros((1, 1, 32, 32))),
+            disc_tx=optax.adam(1e-4),
+            last_layer_path=("params", "dec_out", "kernel"),
+            disc_feats_apply=lambda p, f: disc.apply(p, f,
+                                                     return_features=True),
+            feature_matching_weight=fm_w, disc_start=0)
+
+    from weatherforecastingtoolkit_tpu.training.trainer import TrainState
+    tx = optax.adam(1e-4)
+    batch = {"vil": rng.random((2, 2, 1, 32, 32)).astype(np.float32)}
+
+    def one_step(fm_w):
+        task = build(fm_w)
+        params = task.init_params(jax.random.key(0))
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params), rng=jax.random.key(1),
+                           extra=task.init_extra(jax.random.key(2), params))
+        return task.custom_train_step(state, batch, tx)
+
+    s_fm, aux_fm = one_step(1.0)
+    s_no, aux_no = one_step(0.0)
+    assert "fm_loss" in aux_fm and float(aux_fm["fm_loss"]) > 0
+    assert float(aux_fm["rec_loss"]) > float(aux_no["rec_loss"])
+    # generator params took a different step under FM ...
+    g_fm = jax.tree_util.tree_leaves(s_fm.params["gen"])[0]
+    g_no = jax.tree_util.tree_leaves(s_no.params["gen"])[0]
+    assert not np.allclose(np.asarray(g_fm), np.asarray(g_no))
+    # ... while the discriminator's update is identical (FM never trains it)
+    for a, b in zip(jax.tree_util.tree_leaves(s_fm.extra["disc_params"]),
+                    jax.tree_util.tree_leaves(s_no.extra["disc_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

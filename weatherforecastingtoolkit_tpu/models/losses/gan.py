@@ -56,13 +56,22 @@ class NLayerDiscriminator(nn.Module):
         # group_size=1 == InstanceNorm-like; see class docstring
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, C, H, W) -> patch logits (B, 1, h', w')."""
+    def __call__(self, x: jnp.ndarray, return_features: bool = False):
+        """x: (B, C, H, W) -> patch logits (B, 1, h', w').
+
+        return_features=True additionally returns the post-activation feature
+        map of every level (NHWC) — the taps for the weight-free
+        feature-matching perceptual loss (`feature_matching_distance`), which
+        plays the role the reference's LPIPS plays in its combined loss
+        (contperceptual.py:103-106) without needing pretrained VGG weights.
+        """
+        feats = []
         h = jnp.transpose(x, (0, 2, 3, 1))  # NHWC internally
         kw, pad = (4, 4), 1
         h = nn.Conv(self.ndf, kw, strides=2, padding=pad, kernel_init=conv_init,
                     name="conv_0")(h)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         nf_mult = 1
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
@@ -71,15 +80,34 @@ class NLayerDiscriminator(nn.Module):
                         name=f"conv_{n}")(h)
             h = self._norm(f"norm_{n}")(h)
             h = nn.leaky_relu(h, 0.2)
+            feats.append(h)
         nf_mult = min(2 ** self.n_layers, 8)
         h = nn.Conv(self.ndf * nf_mult, kw, strides=1, padding=pad,
                     use_bias=self.use_actnorm, kernel_init=conv_init,
                     name=f"conv_{self.n_layers}")(h)
         h = self._norm(f"norm_{self.n_layers}")(h)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         h = nn.Conv(1, (1, 1), padding=pad, kernel_init=conv_init,
                     name="conv_out")(h)
-        return jnp.transpose(h, (0, 3, 1, 2))
+        logits = jnp.transpose(h, (0, 3, 1, 2))
+        if return_features:
+            return logits, feats
+        return logits
+
+
+def feature_matching_distance(feats_a, feats_b) -> jnp.ndarray:
+    """Per-sample mean L1 distance across discriminator feature maps,
+    returned as (B, 1, 1, 1) for broadcast onto the elementwise
+    reconstruction map — the same slot the reference's LPIPS occupies
+    (contperceptual.py:103-106). Weight-free perceptual loss: the PatchGAN's
+    own features are the perceptual embedding (pix2pixHD-style feature
+    matching), so no pretrained VGG download is needed."""
+    d = 0.0
+    for a, b in zip(feats_a, feats_b):
+        d = d + jnp.mean(jnp.abs(a - b), axis=tuple(range(1, a.ndim)))
+    d = d / max(1, len(feats_a))
+    return d.reshape(-1, 1, 1, 1)
 
 
 def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:

@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.losses.gan import (adaptive_weight, adopt_weight, hinge_d_loss,
+from ..models.losses.gan import (adaptive_weight, adopt_weight,
+                                 feature_matching_distance, hinge_d_loss,
                                  vanilla_d_loss)
 from .trainer import Task, TrainState
 
@@ -86,6 +87,12 @@ def make_vae_gan_task(
     pixel_loss: str = "l1",
     perceptual_apply: Optional[Callable] = None,  # (a, b) -> (B,1,1,1) dists
     perceptual_weight: float = 1.0,
+    # weight-free perceptual term: L1 over the PatchGAN's own intermediate
+    # features (already in-graph — zero extra weights, no VGG download).
+    # disc_feats_apply: (disc_params, frames) -> (logits, [feats]); pass
+    # lambda p, f: disc.apply(p, f, return_features=True)
+    disc_feats_apply: Optional[Callable] = None,
+    feature_matching_weight: float = 0.0,
     recon_weight: float = 1.0,
     kl_weight: Optional[float] = None,   # None -> no KL / no learnable logvar
     disc_weight: float = 1.0,
@@ -119,6 +126,15 @@ def make_vae_gan_task(
             return _disc_apply(cast_floats(p), cast_floats(f)
                                ).astype(jnp.float32)
 
+        if disc_feats_apply is not None:
+            _disc_feats_apply = disc_feats_apply
+
+            def disc_feats_apply(p, f):  # noqa: F811
+                logits, feats = _disc_feats_apply(cast_floats(p),
+                                                  cast_floats(f))
+                return (logits.astype(jnp.float32),
+                        [x.astype(jnp.float32) for x in feats])
+
     def _frames(x):
         b, t = x.shape[:2]
         return x.reshape((b * t,) + x.shape[2:])
@@ -134,18 +150,33 @@ def make_vae_gan_task(
         return {"disc_params": disc_params,
                 "disc_opt_state": disc_tx.init(disc_params)}
 
+    use_fm = disc_feats_apply is not None and feature_matching_weight > 0
+
     # ---- losses --------------------------------------------------------------
-    def rec_loss_fn(gen_params, logvar, frames, rng):
+    def rec_loss_fn(gen_params, logvar, frames, rng, disc_params=None):
         recon, kl = generator_apply(gen_params, frames, rng)
         rec_map = recon_weight * px_map(recon, frames)
+        aux = {}
         if perceptual_apply is not None and perceptual_weight > 0:
             a = jnp.repeat(recon, 3, axis=1) if recon.shape[1] == 1 else recon
             b = jnp.repeat(frames, 3, axis=1) if frames.shape[1] == 1 else frames
             # (B,1,1,1) broadcast onto the elementwise map, as the reference
             # does before its sum-reduction (contperceptual.py:103-106)
             rec_map = rec_map + perceptual_weight * perceptual_apply(a, b)
+        if use_fm and disc_params is not None:
+            # weight-free perceptual term: L1 over the discriminator's own
+            # intermediate features of recon vs target, occupying the same
+            # broadcast slot as the reference's LPIPS. The disc is frozen
+            # here (stop_gradient) — it never trains to minimize its own
+            # feature distance.
+            dp = jax.lax.stop_gradient(disc_params)
+            _, f_fake = disc_feats_apply(dp, recon)
+            _, f_real = disc_feats_apply(dp, jax.lax.stop_gradient(frames))
+            fm = feature_matching_distance(f_fake, f_real)
+            aux["fm_loss"] = jnp.mean(fm)
+            rec_map = rec_map + feature_matching_weight * fm
         rec = jnp.mean(rec_map)
-        aux = {"rec_loss": rec}
+        aux["rec_loss"] = rec
         if use_kl:
             # torch.sum(nll)/batch — per-sample sum, batch mean
             nll_map = rec_map / jnp.exp(logvar) + logvar
@@ -179,7 +210,7 @@ def make_vae_gan_task(
         # backward 1: reconstruction objective (w.r.t. gen [+ logvar])
         (rec_total, (recon, aux)), rec_grads = jax.value_and_grad(
             rec_loss_fn, argnums=(0, 1) if use_kl else 0, has_aux=True)(
-                params["gen"], logvar, frames, g_rng)
+                params["gen"], logvar, frames, g_rng, disc_params)
         if use_kl:
             rec_gen_grads, logvar_grad = rec_grads
         else:
@@ -237,6 +268,9 @@ def make_vae_gan_task(
         return recon.reshape(x.shape), x
 
     def loss_fn(params, batch, rng, step):
+        # validation loss: reconstruction objective only — the FM term needs
+        # the live discriminator (in state.extra), which eval-by-params-only
+        # callers don't carry; rec/nll/kl are the comparable quantities anyway
         frames = _frames(dequantize(batch[key]))
         logvar = params.get("logvar", jnp.zeros(()))
         total, (_recon, aux) = rec_loss_fn(params["gen"], logvar, frames, rng)
