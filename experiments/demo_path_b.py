@@ -65,8 +65,9 @@ from weatherforecastingtoolkit_tpu.utils.compile_cache import enable_persistent_
 
 enable_persistent_cache()
 
-HEADLINE = ["SSIM", "PSNR", "CRPS", "paper_CSI_M_POOL1", "paper_HSS_POOL1"]
-HIGHER = {"SSIM", "PSNR", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
+HEADLINE = ["SSIM", "PSNR", "PSNR_ref", "CRPS", "paper_CSI_M_POOL1",
+            "paper_HSS_POOL1"]
+HIGHER = {"SSIM", "PSNR", "PSNR_ref", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
 
 
 def loop(loader, epochs=10**9):

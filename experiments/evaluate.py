@@ -90,7 +90,8 @@ def main(argv=None):
         raise SystemExit("no test batches")
 
     model_m, persist_m = evaluate_vs_persistence(eval_fn, fc_params, batches)
-    headline = ["SSIM", "PSNR", "CRPS", "paper_CSI_M_POOL1", "paper_HSS_POOL1"]
+    headline = ["SSIM", "PSNR", "PSNR_ref", "CRPS", "paper_CSI_M_POOL1",
+                "paper_HSS_POOL1"]
     print(f"{'metric':<22}{'model':>12}{'persistence':>14}")
     for k in headline:
         print(f"{k:<22}{model_m[k]:>12.4f}{persist_m[k]:>14.4f}")

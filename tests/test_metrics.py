@@ -136,11 +136,15 @@ def test_psnr_estimated_range_mode():
     m1 = calc_metrics(p, t)
     m2 = calc_metrics(p, t, psnr_data_range=None)
     assert m2["PSNR"] < m1["PSNR"]  # constant target -> estimated range ~0
+    # BOTH conventions are always emitted (published comparisons quote
+    # PSNR_ref, the torchmetrics estimated-range convention)
+    assert m1["PSNR_ref"] == pytest.approx(m2["PSNR"], abs=1e-4)
+    assert m2["PSNR_ref"] == m2["PSNR"]
 
 
 # ---------------------------------------------------------------- calc_metrics contract
 EXPECTED_KEYS = (
-    ["CRPS", "CRPS_4", "CRPS_16", "SSIM", "PSNR"]
+    ["CRPS", "CRPS_4", "CRPS_16", "SSIM", "PSNR", "PSNR_ref"]
     + [f"{m}_{i}{s}" for m in ("CSI", "HSS") for i in range(6) for s in ("", "_4", "_16")]
     + ["paper_SSIM", "paper_PSNR", "paper_CRPS"]
     + [f"paper_{m}_{p}" for p in ("POOL1", "POOL4", "POOL16")

@@ -113,6 +113,13 @@ def _calc_metrics_jit(pred: jax.Array, target: jax.Array, has_ensemble: bool,
     t_nchw = target.reshape((-1,) + target.shape[-3:])
     results["SSIM"] = _ssim_nchw(p_nchw, t_nchw, data_range=1.0)
     results["PSNR"] = _psnr_nchw(p_nchw, t_nchw, data_range=psnr_data_range)
+    # reference-convention PSNR is ALWAYS emitted alongside: bare torchmetrics
+    # estimates the range per frame (target max - min), which reports
+    # systematically higher numbers (reference pipeline/metrics.py:77-84).
+    # Publishing comparisons against reference-published values must quote
+    # PSNR_ref; PSNR (fixed [0,1] range) is the physically pinned one.
+    results["PSNR_ref"] = (results["PSNR"] if psnr_data_range is None
+                           else _psnr_nchw(p_nchw, t_nchw, data_range=None))
 
     # ---- CSI / HSS: 6 thresholds x 3 pool scales, one pass each scale ------
     th = jnp.asarray(VIL_THRESHOLDS, dtype=jnp.float32)
@@ -145,8 +152,10 @@ def calc_metrics(pred, target, psnr_data_range=1.0) -> Dict[str, float]:
     psnr_data_range: 1.0 (default) pins the PSNR range to the [0, 1] clamp;
     None reproduces the reference's torchmetrics default, which ESTIMATES the
     range per frame from the target (max - min) and therefore reports
-    systematically HIGHER PSNR — pass None when comparing numbers against
-    reference-published values (see ops/ssim.py:psnr).
+    systematically HIGHER PSNR (see ops/ssim.py:psnr). Both conventions are
+    always emitted: `PSNR` uses psnr_data_range, `PSNR_ref` always uses the
+    reference convention — quote PSNR_ref when comparing against
+    reference-published values.
     """
     pred = jnp.asarray(pred)
     target = jnp.asarray(target)
