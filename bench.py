@@ -62,6 +62,33 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(max_tries=8, base_delay_s=10.0):
+    """Bounded retry around JAX backend init: the axon TPU tunnel can be
+    transiently UNAVAILABLE at process start (BENCH_r03 died at
+    `jax.devices()` before any repo code ran). A failed init is cached by
+    jax, so each retry clears the backend registry first."""
+    import jax
+
+    for attempt in range(1, max_tries + 1):
+        try:
+            devs = jax.devices()
+            if attempt > 1:
+                log(f"backend came up on attempt {attempt}")
+            return devs
+        except RuntimeError as e:
+            if attempt == max_tries:
+                raise
+            delay = min(base_delay_s * 2 ** (attempt - 1), 120.0)
+            log(f"backend init attempt {attempt}/{max_tries} failed "
+                f"({str(e).splitlines()[0][:160]}); retrying in {delay:.0f}s")
+            try:
+                import jax.extend
+                jax.extend.backend.clear_backends()
+            except Exception as ce:  # noqa: BLE001 — best-effort cache clear
+                log(f"clear_backends failed: {type(ce).__name__}: {ce}")
+            time.sleep(delay)
+
+
 def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
                        autoregressive=False, vae_kwargs=None, streaming=False):
     import jax
@@ -552,6 +579,7 @@ def get_baseline_fps():
 
 
 def main():
+    wait_for_backend()
     fps, mfu, bwu, extra = bench_jax()
     try:
         (train_sps, train_sps_bf16, train_mfu32, train_mfu16,
