@@ -10,9 +10,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 EXPERIMENTS = [
-    "ae_recon", "ae_gan", "vae_gan_kl", "latent_dlinear", "latent_linear",
-    "latent_convae", "latent_convattn", "mlp_intensity", "alphapre",
-    "earthformer", "token_vit",
+    "ae_recon", "ae_gan", "vae_gan_kl", "vae_sevir384", "latent_dlinear",
+    "latent_linear", "latent_convae", "latent_convattn", "mlp_intensity",
+    "alphapre", "earthformer", "token_vit",
 ]
 
 # tiny overrides so each smoke run compiles small programs and finishes fast
@@ -72,6 +72,14 @@ SPECIFIC = {
                     "model.dim=16", "model.depth=2", "model.num_heads=2",
                     "model.window=[2,2]", "dataset.seq_len=8",
                     "physics_prior.enabled=true"],
+    # full-res preset: keep the REAL sevir geometry (raw_seq_len 49; COMMON's
+    # img_size=32 shrinks only the synthetic frames — the 4-block /8 chain is
+    # resolution-independent and pinned at 384^2 in test_vae.py)
+    "vae_sevir384": ["model.block_out_channels=[4,4,8,8]",
+                     "model.norm_num_groups=4", "dataset.raw_seq_len=49",
+                     "dataset.seq_len=4", "dataset.stride=45",
+                     "dataset.batch_size=1", "lpips.disc_num_layers=1",
+                     "lpips.disc_ndf=8", "lpips.disc_start=0"],
 }
 
 

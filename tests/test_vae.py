@@ -73,6 +73,24 @@ def test_autoencoder_kl_shapes(rng):
     assert out.shape == (2, 1, 32, 32)
 
 
+def test_autoencoder_kl_384_to_48_shape_chain(rng):
+    """The reference's MAIN VAE geometry: full-res SEVIR 384^2 frames ->
+    4x48x48 latents (reference autoencoder_kl.py:80-113 + full-res preset
+    sevir/sevir.py:1111-1130). 4 blocks = 3 downsamples = /8 spatially; the
+    experiments/vae_sevir384 config must produce exactly this chain (tiny
+    widths here — the chain depends on block COUNT, not width)."""
+    model = AutoencoderKL(in_channels=1, out_channels=1,
+                          block_out_channels=(8, 8, 8, 8),
+                          layers_per_block=1, latent_channels=4,
+                          norm_num_groups=4, remat=True)
+    x = jnp.asarray(rng.random((1, 1, 384, 384)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    posterior = model.apply(variables, x, method=model.encode)
+    assert posterior.mean.shape == (1, 4, 48, 48)
+    recon = model.apply(variables, posterior.mode(), method=model.decode)
+    assert recon.shape == (1, 1, 384, 384)
+
+
 # ------------------------------------------------------------ torch parity
 @pytest.mark.parametrize("seed", [0])
 def test_fp32_parity_with_torch_reference(seed, rng):
