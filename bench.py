@@ -120,10 +120,14 @@ def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
         # mantissa butchers, and the forecaster is <0.1% of pipeline FLOPs
         vae_vars = jax.tree_util.tree_map(lambda a: a.astype(jdtype), vae_vars)
 
-    if conv_mode == "int8_static":
+    from weatherforecastingtoolkit_tpu.ops.quant import mixed_mode_uses
+    if mixed_mode_uses(conv_mode, "int8_static"):
         # post-training calibration: per-conv per-input-channel abs-max over
         # the serving batch, folded into the weights at compile time
         # (ops/quant.py::int8_conv_static). Stats are recorded at fp32.
+        # conv_mode may be a MIXED per-layer spec (tuple of (pattern, mode)
+        # pairs, ops/quant.py::resolve_conv_mode) — calibration still covers
+        # every conv; unquantized convs simply never read their qscales.
         from weatherforecastingtoolkit_tpu.ops.quant import calibrate
 
         assert calib_frames is not None, "int8_static needs calib_frames"

@@ -1,0 +1,120 @@
+"""Mixed int8/float serving: per-layer sensitivity sweep on the reference-
+shape VAE rollout.
+
+Round-2/3 settled that FULL static W8A8 on the reference-shape pipeline
+fails the bench's 0.995-SSIM-vs-fp32 gate (0.759), while QAT narrows the
+task-tier gap but not the gate. The standard next lever is MIXED precision
+per layer: find which conv families the quantization error actually comes
+from, keep those in float, quantize the rest — int8 MXU rate where it's
+safe, float where it isn't.
+
+Protocol (single chip, ~30 min):
+  1. fp32 native rollout -> reference output; bf16 rollout -> bf16 fps.
+  2. calibrate per-conv activation abs-max once (global 'calibrate' mode).
+  3. leave-one-IN: for each conv family F, quantize ONLY F
+     (spec = ((F/*, int8_static), ('*', 'native'))), measure SSIM vs fp32.
+     Ranks families by quantization damage.
+  4. greedy mix: add families in least-damage order; after each addition
+     measure SSIM; keep the largest set that still passes > 0.995.
+  5. measure the winning mix's fps vs bf16 fps (both at BATCH).
+
+Prints a table + the winning spec as a python literal (paste into bench.py's
+INT8_MIXED_SPEC when it changes). Usage: python experiments/perf/int8_mixed.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402  (enables the persistent compile cache on import)
+
+GATE = 0.995
+
+# conv families of the reference-shape AutoencoderKL (5 blocks: 128 -> 8).
+# quant_conv/post_quant_conv are plain 1x1 nn.Conv (never quantized).
+FAMILIES = (
+    ["encoder/conv_in", "encoder/mid_block", "encoder/conv_out",
+     "decoder/conv_in", "decoder/mid_block", "decoder/conv_out"]
+    + [f"encoder/down_blocks_{i}" for i in range(len(bench.VAE_CHANNELS))]
+    + [f"decoder/up_blocks_{i}" for i in range(len(bench.VAE_CHANNELS))]
+)
+
+
+def main():
+    import jax
+
+    from weatherforecastingtoolkit_tpu.data.synthetic import (
+        synthetic_vil_events)
+    from weatherforecastingtoolkit_tpu.ops.ssim import ssim
+
+    print(f"devices: {jax.devices()}", flush=True)
+    events = synthetic_vil_events(bench.BATCH, bench.HW, bench.HW,
+                                  bench.T_IN, seed=0)
+    frames = np.transpose(events, (0, 3, 1, 2))[:, :, None]
+    frames = jax.device_put(frames.astype(np.float32) / 255.0)
+
+    def run(dtype, mode, n_rep=10):
+        pipe, fc = bench.build_jax_pipeline(
+            dtype, conv_mode=mode,
+            calib_frames=frames if mode != "native" else None)
+        t, _c, out = bench._time_pipeline(pipe, fc, frames, n_rep=n_rep)
+        return t, np.asarray(out).reshape(-1, 1, bench.HW, bench.HW)
+
+    t32, ref = run("float32", "native")
+    t16, out16 = run("bfloat16", "native")
+    fps16 = bench.BATCH * bench.T_OUT / t16
+    print(f"bf16: {fps16:.1f} fps, SSIM vs fp32 "
+          f"{float(ssim(ref, out16)):.5f}", flush=True)
+
+    # ---- stage 3: leave-one-IN sensitivity ---------------------------------
+    damage = []
+    for fam in FAMILIES:
+        spec = ((fam + "*", "int8_static"), ("*", "native"))
+        t0 = time.time()
+        _t, out = run("bfloat16", spec, n_rep=2)
+        s = float(ssim(ref, out))
+        damage.append((1.0 - s, fam))
+        print(f"  only {fam:<28} int8 -> SSIM {s:.5f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    damage.sort()
+
+    # ---- stage 4: greedy mix, least-damage first ----------------------------
+    chosen, s_mix = [], None
+    for _d, fam in damage:
+        trial = chosen + [fam]
+        spec = tuple((f + "*", "int8_static") for f in trial) + \
+            (("*", "native"),)
+        _t, out = run("bfloat16", spec, n_rep=2)
+        s = float(ssim(ref, out))
+        ok = s > GATE
+        print(f"  mix+{fam:<27} SSIM {s:.5f} {'PASS' if ok else 'FAIL'}",
+              flush=True)
+        if ok:
+            chosen, s_mix = trial, s
+
+    if not chosen:
+        print("RESULT: no family quantizes under the gate — mixed int8 is a "
+              "measured negative on this architecture", flush=True)
+        return
+
+    spec = tuple((f + "*", "int8_static") for f in chosen) + \
+        (("*", "native"),)
+    t_mix, out = run("bfloat16", spec)
+    fps_mix = bench.BATCH * bench.T_OUT / t_mix
+    s_final = float(ssim(ref, out))
+    print(f"\nRESULT: {len(chosen)}/{len(FAMILIES)} families int8, "
+          f"SSIM {s_final:.5f} (gate {GATE}), "
+          f"{fps_mix:.1f} fps vs bf16 {fps16:.1f} "
+          f"({(fps_mix/fps16-1)*100:+.1f}%)", flush=True)
+    print("INT8_MIXED_SPEC =", repr(spec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

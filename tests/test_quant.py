@@ -234,3 +234,57 @@ def test_qat_reduces_int8_error(rng):
 
     after = err_static(params)
     assert after < before, (before, after)
+
+
+def test_mixed_conv_mode_spec(rng):
+    """A tuple conv_mode is a per-layer spec: (fnmatch pattern, mode) pairs
+    resolved against each conv's module path, first match wins, unmatched
+    convs run native. The mixed-serving lever: keep quantization-SENSITIVE
+    conv families in float while the rest run int8_static
+    (experiments/perf/int8_mixed.py sweeps the assignment)."""
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import (
+        AutoencoderKL)
+    from weatherforecastingtoolkit_tpu.ops.quant import (mixed_mode_uses,
+                                                         resolve_conv_mode)
+
+    spec = (("decoder/conv_out", "native"), ("encoder/conv_in", "native"),
+            ("*", "int8_static"))
+    assert resolve_conv_mode(spec, ("decoder", "conv_out")) == "native"
+    assert resolve_conv_mode(spec, ("decoder", "conv_in")) == "int8_static"
+    assert resolve_conv_mode((), ("anything",)) == "native"  # no match
+    assert resolve_conv_mode("int8", ("x",)) == "int8"       # global string
+    assert mixed_mode_uses(spec, "int8_static") and not mixed_mode_uses(
+        spec, "fake_quant")
+
+    kw = dict(in_channels=1, out_channels=1, block_out_channels=(8, 16),
+              layers_per_block=1, latent_channels=4, norm_num_groups=4)
+    x = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32))
+
+    native = AutoencoderKL(**kw)
+    nv = native.init(jax.random.key(0), x)
+    mixed = AutoencoderKL(**kw, conv_mode=spec)
+    mv = mixed.init(jax.random.key(0), x)
+
+    # identical param tree (checkpoints serve mixed as-is); qscales exist
+    # ONLY for the convs the spec quantizes
+    assert jax.tree_util.tree_structure(nv["params"]) == \
+        jax.tree_util.tree_structure(mv["params"])
+    qpaths = {"/".join(str(getattr(k, "key", k)) for k in path)
+              for path, _ in
+              jax.tree_util.tree_flatten_with_path(mv["qscales"])[0]}
+    assert "decoder/conv_out/act_absmax" not in qpaths
+    assert "encoder/conv_in/act_absmax" not in qpaths
+    assert "decoder/conv_in/act_absmax" in qpaths
+
+    # full-int8 vs mixed with the same calibration: mixed (float conv_out)
+    # must land CLOSER to the native output, and differ from full-int8
+    calib = AutoencoderKL(**kw, conv_mode="calibrate")
+    from weatherforecastingtoolkit_tpu.ops.quant import calibrate as _cal
+    qscales = _cal(lambda v, b: calib.apply(v, b, mutable=["qstats"]), nv, [x])
+    ref = np.asarray(native.apply(nv, x)[0])
+    full = AutoencoderKL(**kw, conv_mode="int8_static")
+    out_full = np.asarray(full.apply({**nv, "qscales": qscales}, x)[0])
+    out_mix = np.asarray(mixed.apply({**nv, "qscales": qscales}, x)[0])
+    err_full = np.linalg.norm(out_full - ref) / np.linalg.norm(ref)
+    err_mix = np.linalg.norm(out_mix - ref) / np.linalg.norm(ref)
+    assert err_mix < err_full, (err_mix, err_full)

@@ -34,6 +34,7 @@ experiments/ae_s2/train.py:29-51); this is TPU-native serving capability.
 
 from __future__ import annotations
 
+import fnmatch
 from typing import Any, Sequence, Tuple, Union
 
 import jax
@@ -42,6 +43,37 @@ from flax import linen as nn
 from jax import lax
 
 CONV_MODES = ("native", "int8", "int8_static", "calibrate", "fake_quant")
+
+# a conv mode is either one of CONV_MODES (global) or a MIXED spec: a tuple of
+# (fnmatch pattern over the module path, mode) pairs, first match wins,
+# unmatched convs run native. Lets the serving path keep the few
+# quantization-SENSITIVE conv families in bf16/fp32 while the rest run
+# int8_static (per-layer sensitivity sweep: experiments/perf/int8_mixed.py).
+ConvMode = Union[str, Tuple[Tuple[str, str], ...]]
+
+
+def resolve_conv_mode(mode: ConvMode, path: Sequence[str]) -> str:
+    """Resolve a (possibly mixed) conv-mode spec for the conv at `path`.
+
+    `path` is the flax module path (QConv's `self.path`). String specs apply
+    globally; tuple specs are (pattern, mode) pairs matched with fnmatch
+    against "/".join(path) — e.g. (("decoder/conv_out", "native"),
+    ("*", "int8_static")). Unmatched paths default to "native".
+    """
+    if isinstance(mode, str):
+        return mode
+    p = "/".join(path)
+    for pat, m in mode:
+        if fnmatch.fnmatch(p, pat):
+            return m
+    return "native"
+
+
+def mixed_mode_uses(mode: ConvMode, target: str) -> bool:
+    """True if `mode` is (or can resolve to) `target` anywhere."""
+    if isinstance(mode, str):
+        return mode == target
+    return any(m == target for _pat, m in mode)
 
 
 def _as_pad(padding: Union[str, int, Sequence[Tuple[int, int]]], nd: int = 2):
@@ -177,7 +209,9 @@ class QConv(nn.Module):
     """nn.Conv-compatible conv with a quantized serving mode.
 
     mode="native" is numerically identical to flax nn.Conv (same params,
-    same init, same promotion rule); mode="int8" runs `int8_conv`.
+    same init, same promotion rule); mode="int8" runs `int8_conv`. A tuple
+    mode is a mixed per-layer spec resolved against this conv's module path
+    (see `resolve_conv_mode`).
     """
 
     features: int
@@ -185,12 +219,13 @@ class QConv(nn.Module):
     strides: Union[int, Tuple[int, int]] = 1
     padding: Any = "SAME"
     use_bias: bool = True
-    mode: str = "native"
+    mode: ConvMode = "native"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.mode not in CONV_MODES:
-            raise ValueError(f"conv mode {self.mode!r} not in {CONV_MODES}")
+        mode = resolve_conv_mode(self.mode, self.path)
+        if mode not in CONV_MODES:
+            raise ValueError(f"conv mode {mode!r} not in {CONV_MODES}")
         kh, kw = self.kernel_size
         strides = ((self.strides,) * 2 if isinstance(self.strides, int)
                    else tuple(self.strides))
@@ -198,18 +233,18 @@ class QConv(nn.Module):
                             (kh, kw, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
-        if self.mode == "int8":
+        if mode == "int8":
             return int8_conv(x, kernel, bias, strides, self.padding)
-        if self.mode in ("int8_static", "fake_quant"):
+        if mode in ("int8_static", "fake_quant"):
             # calibration scales live in their own 'qscales' collection so the
             # 'params' tree stays checkpoint-identical to nn.Conv
             absmax = self.variable(
                 "qscales", "act_absmax",
                 lambda: jnp.ones((x.shape[-1],), jnp.float32))
-            fn = (int8_conv_static if self.mode == "int8_static"
+            fn = (int8_conv_static if mode == "int8_static"
                   else fake_quant_conv)
             return fn(x, kernel, bias, strides, self.padding, absmax.value)
-        if self.mode == "calibrate":
+        if mode == "calibrate":
             # record per-input-channel abs-max into 'qstats' (reduce=max over
             # calls/batches), compute natively
             self.sow("qstats", "act_absmax",
