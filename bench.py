@@ -371,6 +371,31 @@ def bench_jax():
     except Exception as e:  # noqa: BLE001
         log(f"streaming variant failed: {type(e).__name__}: {e}")
 
+    # fast-VAE streaming tick: the decoder dominates the B=1 tick (round-3
+    # measurement: one-frame encode saves only ~4% at B=1), so the decoder-
+    # side lever is the pixel-unshuffle architecture — no conv at full res
+    # in the DECODER either
+    lat_stream_fast_ms = None
+    try:
+        import time as _t
+
+        (sf_init, sf_step), fc_sf = build_jax_pipeline(
+            "bfloat16", streaming=True, vae_kwargs=fast_kw)
+        st_f = sf_init(frames[:1])
+        nf = frames[:1, -1]
+        st_f, out_sf = sf_step(fc_sf, st_f, nf)
+        jax.block_until_ready(out_sf)
+        ticks = []
+        for _ in range(20):
+            t0 = _t.time()
+            st_f, out_sf = sf_step(fc_sf, st_f, nf)
+            jax.block_until_ready(out_sf)
+            ticks.append(_t.time() - t0)
+        lat_stream_fast_ms = sorted(ticks)[len(ticks) // 2] * 1000
+        log(f"fast-VAE streaming tick (B=1): {lat_stream_fast_ms:.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"fast-VAE streaming variant failed: {type(e).__name__}: {e}")
+
     return fps, mfu, bwu, {
         "int8_frames_per_sec": round(fps8, 2) if fps8 is not None else None,
         "int8_ssim_vs_fp32": round(s8, 5) if s8 is not None else None,
@@ -387,7 +412,10 @@ def bench_jax():
         "fast_vae_latency_ms_b1": (round(lat_fast_ms, 2)
                                    if lat_fast_ms is not None else None),
         "streaming_tick_ms_b1": (round(lat_stream_ms, 2)
-                                 if lat_stream_ms is not None else None)}
+                                 if lat_stream_ms is not None else None),
+        "fast_vae_streaming_tick_ms_b1": (
+            round(lat_stream_fast_ms, 2)
+            if lat_stream_fast_ms is not None else None)}
 
 
 def bench_train():

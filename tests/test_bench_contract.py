@@ -93,3 +93,40 @@ def test_bench_json_contract(tmp_path):
     assert "latency_ms_b1" in payload
     assert "fast_vae_latency_ms_b1" in payload
     assert "streaming_tick_ms_b1" in payload
+    assert "fast_vae_streaming_tick_ms_b1" in payload
+
+
+def test_wait_for_backend_retries(monkeypatch):
+    """Backend-init retry: transient UNAVAILABLE at process start must not
+    forfeit the bench run (BENCH_r03 died at jax.devices() before any repo
+    code ran). Two failures then success -> returns devices, slept twice,
+    cleared the cached backend registry between attempts."""
+    import bench
+    import jax
+
+    calls = {"n": 0, "sleeps": [], "clears": 0}
+
+    def fake_devices():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("Unable to initialize backend 'axon': "
+                               "UNAVAILABLE")
+        return ["fake-tpu"]
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: calls["sleeps"].append(s))
+    import jax.extend
+    monkeypatch.setattr(jax.extend.backend, "clear_backends",
+                        lambda: calls.__setitem__("clears",
+                                                  calls["clears"] + 1))
+    assert bench.wait_for_backend(max_tries=5) == ["fake-tpu"]
+    assert calls["n"] == 3 and len(calls["sleeps"]) == 2
+    assert calls["clears"] == 2
+    assert calls["sleeps"][1] > calls["sleeps"][0]  # backoff grows
+
+    # exhausted retries re-raise the last error
+    calls["n"] = -100  # never succeeds within 3 tries
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        bench.wait_for_backend(max_tries=3)
