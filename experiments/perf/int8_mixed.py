@@ -19,11 +19,18 @@ Protocol (single chip, ~30 min):
   5. measure the winning mix's fps vs bf16 fps (both at BATCH).
 
 Prints a table + the winning spec as a python literal (paste into bench.py's
-INT8_MIXED_SPEC when it changes). Usage: python experiments/perf/int8_mixed.py
+INT8_MIXED_SPEC when it changes).
+
+Usage: python experiments/perf/int8_mixed.py [--fast] [--batch N]
+--fast sweeps the pixel-unshuffle fast VAE instead (3 blocks; gated against
+its OWN fp32 output, the same self-gate bench.py applies to its bf16
+recipe) — the deployment architecture, where full int8_static already runs
++20% but at the ~0.9-SSIM task tier.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -37,45 +44,64 @@ import bench  # noqa: E402  (enables the persistent compile cache on import)
 
 GATE = 0.995
 
-# conv families of the reference-shape AutoencoderKL (5 blocks: 128 -> 8).
-# quant_conv/post_quant_conv are plain 1x1 nn.Conv (never quantized).
-FAMILIES = (
-    ["encoder/conv_in", "encoder/mid_block", "encoder/conv_out",
-     "decoder/conv_in", "decoder/mid_block", "decoder/conv_out"]
-    + [f"encoder/down_blocks_{i}" for i in range(len(bench.VAE_CHANNELS))]
-    + [f"decoder/up_blocks_{i}" for i in range(len(bench.VAE_CHANNELS))]
-)
+FAST_KW = dict(pixel_unshuffle=4, block_out_channels=(128, 256, 512))
+
+
+def families(n_blocks):
+    """Conv families of an AutoencoderKL with n_blocks enc/dec blocks.
+    quant_conv/post_quant_conv are plain 1x1 nn.Conv (never quantized)."""
+    return (
+        ["encoder/conv_in", "encoder/mid_block", "encoder/conv_out",
+         "decoder/conv_in", "decoder/mid_block", "decoder/conv_out"]
+        + [f"encoder/down_blocks_{i}" for i in range(n_blocks)]
+        + [f"decoder/up_blocks_{i}" for i in range(n_blocks)]
+    )
+
+
+FAMILIES = families(len(bench.VAE_CHANNELS))
 
 
 def main():
     import jax
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true",
+                   help="sweep the pixel-unshuffle fast VAE (self-gated)")
+    p.add_argument("--batch", type=int, default=None)
+    args = p.parse_args()
+    vae_kwargs = FAST_KW if args.fast else None
+    fams = families(len(FAST_KW["block_out_channels"])) if args.fast \
+        else FAMILIES
+    batch = args.batch or (bench.FAST_BATCH if args.fast else bench.BATCH)
 
     from weatherforecastingtoolkit_tpu.data.synthetic import (
         synthetic_vil_events)
     from weatherforecastingtoolkit_tpu.ops.ssim import ssim
 
     print(f"devices: {jax.devices()}", flush=True)
-    events = synthetic_vil_events(bench.BATCH, bench.HW, bench.HW,
+    print(f"arch: {'fast (pixel_unshuffle=4)' if args.fast else 'reference'}"
+          f" shape, batch {batch}", flush=True)
+    events = synthetic_vil_events(batch, bench.HW, bench.HW,
                                   bench.T_IN, seed=0)
     frames = np.transpose(events, (0, 3, 1, 2))[:, :, None]
     frames = jax.device_put(frames.astype(np.float32) / 255.0)
 
     def run(dtype, mode, n_rep=10):
         pipe, fc = bench.build_jax_pipeline(
-            dtype, conv_mode=mode,
+            dtype, conv_mode=mode, vae_kwargs=vae_kwargs,
             calib_frames=frames if mode != "native" else None)
         t, _c, out = bench._time_pipeline(pipe, fc, frames, n_rep=n_rep)
         return t, np.asarray(out).reshape(-1, 1, bench.HW, bench.HW)
 
     t32, ref = run("float32", "native")
     t16, out16 = run("bfloat16", "native")
-    fps16 = bench.BATCH * bench.T_OUT / t16
+    fps16 = batch * bench.T_OUT / t16
     print(f"bf16: {fps16:.1f} fps, SSIM vs fp32 "
           f"{float(ssim(ref, out16)):.5f}", flush=True)
 
     # ---- stage 3: leave-one-IN sensitivity ---------------------------------
     damage = []
-    for fam in FAMILIES:
+    for fam in fams:
         spec = ((fam + "*", "int8_static"), ("*", "native"))
         t0 = time.time()
         _t, out = run("bfloat16", spec, n_rep=2)
@@ -107,9 +133,9 @@ def main():
     spec = tuple((f + "*", "int8_static") for f in chosen) + \
         (("*", "native"),)
     t_mix, out = run("bfloat16", spec)
-    fps_mix = bench.BATCH * bench.T_OUT / t_mix
+    fps_mix = batch * bench.T_OUT / t_mix
     s_final = float(ssim(ref, out))
-    print(f"\nRESULT: {len(chosen)}/{len(FAMILIES)} families int8, "
+    print(f"\nRESULT: {len(chosen)}/{len(fams)} families int8, "
           f"SSIM {s_final:.5f} (gate {GATE}), "
           f"{fps_mix:.1f} fps vs bf16 {fps16:.1f} "
           f"({(fps_mix/fps16-1)*100:+.1f}%)", flush=True)
