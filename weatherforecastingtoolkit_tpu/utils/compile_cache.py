@@ -21,6 +21,13 @@ def enable_persistent_cache(path: str = None, min_compile_secs: float = 1.0) -> 
     # them across heterogeneous hosts risks SIGILL (observed: cached
     # '+prefer-no-gather' artifacts on a host without it). Cache only
     # accelerator backends, where compiles are the expensive ones anyway.
+    # Honor WX_PLATFORM here too (not just experiments/common.py): scripts
+    # whose first repo import is this function (bench.py and everything that
+    # imports bench) must never open a TPU tunnel when the caller asked for
+    # CPU — a stray second axon client can wedge the one legitimate TPU
+    # process (see CLAUDE.md environment rules).
+    if os.environ.get("WX_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["WX_PLATFORM"])
     platforms = (os.environ.get("WX_PLATFORM")
                  or str(jax.config.jax_platforms or "")).lower()
     if platforms.startswith("cpu"):
