@@ -39,6 +39,11 @@ FAST_BATCH = 256  # the fast VAE's throughput-optimal batch (no full-res
                   # activations -> keeps scaling: 8,188 fps @64 / 9,549 @128 /
                   # 10,717 @256, self-gate passes at every point; sweep in
                   # experiments/perf/fast_vae_sweep.py)
+# the pixel-unshuffle deployment VAE recipe — the single source of truth for
+# every consumer (bench_jax, experiments/perf/int8_mixed.py, fast_vae_*):
+# a sweep computed for a different architecture than the one bench serves
+# would be silently wrong
+FAST_VAE_KW = dict(pixel_unshuffle=4, block_out_channels=(128, 256, 512))
 T_IN, T_OUT = 13, 12
 HW = 128
 LATENT_C, LATENT_HW = 64, 8
@@ -89,8 +94,48 @@ def wait_for_backend(max_tries=8, base_delay_s=10.0):
             time.sleep(delay)
 
 
+def calibrate_qscales(calib_frames, vae_kwargs=None):
+    """One global 'calibrate' pass over the serving batch: per-conv
+    per-input-channel activation abs-max for the bench VAE geometry
+    (ops/quant.py::calibrate). The result depends only on (architecture,
+    calib batch) — NOT on the int8/float per-layer spec — so sweeps over
+    many specs (experiments/perf/int8_mixed.py) call this once and pass the
+    tree to every build_jax_pipeline(qscales=...)."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL
+    from weatherforecastingtoolkit_tpu.ops.quant import calibrate
+
+    kw = dict(in_channels=1, out_channels=1,
+              block_out_channels=VAE_CHANNELS, layers_per_block=1,
+              latent_channels=LATENT_C, norm_num_groups=NORM_GROUPS,
+              conv_mode="calibrate")
+    kw.update(vae_kwargs or {})
+    cvae = AutoencoderKL(**{**kw, "conv_mode": "calibrate"})
+    rng = jax.random.key(0)
+    frame = jnp.zeros((1, 1, HW, HW), jnp.float32)
+    cvars = cvae.init(rng, frame)  # fp32, same init seed as the pipeline
+
+    def _flatten_frames(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    @jax.jit
+    def _calib_step(v, frames):
+        post, mut = cvae.apply(v, _flatten_frames(frames),
+                               method=cvae.encode, mutable=["qstats"])
+        _, mut2 = cvae.apply({**{k: v[k] for k in ("params",)},
+                              "qstats": mut["qstats"]},
+                             post.mode(), method=cvae.decode,
+                             mutable=["qstats"])
+        return None, mut2
+
+    return calibrate(_calib_step, cvars, [calib_frames])
+
+
 def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
-                       autoregressive=False, vae_kwargs=None, streaming=False):
+                       autoregressive=False, vae_kwargs=None, streaming=False,
+                       qscales=None):
     import jax
     import jax.numpy as jnp
 
@@ -128,26 +173,12 @@ def build_jax_pipeline(dtype="float32", conv_mode="native", calib_frames=None,
         # conv_mode may be a MIXED per-layer spec (tuple of (pattern, mode)
         # pairs, ops/quant.py::resolve_conv_mode) — calibration still covers
         # every conv; unquantized convs simply never read their qscales.
-        from weatherforecastingtoolkit_tpu.ops.quant import calibrate
-
-        assert calib_frames is not None, "int8_static needs calib_frames"
-        cvae = AutoencoderKL(**{**kw, "conv_mode": "calibrate"})
-        cvars = vae.init(rng, frame)  # fp32 copy of the same params
-
-        @jax.jit
-        def _calib_step(v, frames):
-            post, mut = cvae.apply(v, _flatten_frames(frames),
-                                   method=cvae.encode, mutable=["qstats"])
-            _, mut2 = cvae.apply({**{k: v[k] for k in ("params",)},
-                                  "qstats": mut["qstats"]},
-                                 post.mode(), method=cvae.decode,
-                                 mutable=["qstats"])
-            return None, mut2
-
-        def _flatten_frames(x):
-            return x.reshape((-1,) + x.shape[2:])
-
-        qscales = calibrate(_calib_step, cvars, [calib_frames])
+        # A precomputed `qscales` tree (calibrate_qscales) skips the pass —
+        # the scales depend only on (architecture, calib batch), so sweeps
+        # over many specs calibrate ONCE and reuse.
+        if qscales is None:
+            assert calib_frames is not None, "int8_static needs calib_frames"
+            qscales = calibrate_qscales(calib_frames, vae_kwargs=vae_kwargs)
         vae_vars = {**vae_vars, "qscales": jax.device_get(qscales)}
 
     def encode_apply(frames):
@@ -310,7 +341,7 @@ def bench_jax():
     # experiments/perf/fast_vae_sweep.py — self-gate passes at every batch)
     log(f"compiling fast-VAE (pixel_unshuffle=4) rollout variant "
         f"(B={FAST_BATCH}) ...")
-    fast_kw = dict(pixel_unshuffle=4, block_out_channels=(128, 256, 512))
+    fast_kw = FAST_VAE_KW
     try:
         fast_events = synthetic_vil_events(FAST_BATCH, HW, HW, T_IN, seed=0)
         fast_frames = np.transpose(fast_events, (0, 3, 1, 2))[:, :, None]
@@ -347,24 +378,31 @@ def bench_jax():
     # streaming tick (B=1): the operational 5-min-cadence radar loop —
     # sliding latent window, so each new frame costs ONE frame encode +
     # forecast + decode instead of re-encoding all T_IN frames
-    log("compiling streaming (sliding-latent-window) tick ...")
-    lat_stream_ms = None
-    try:
+    def _stream_tick(vae_kwargs=None, n_rep=20):
+        """Median ms per streaming tick (B=1). Same sync protocol as
+        _time_pipeline: host readback of one element — on the axon backend
+        block_until_ready can return once the remote execution is scheduled,
+        not finished."""
         import time as _t
 
-        (s_init, s_step), fc_s = build_jax_pipeline("bfloat16",
-                                                    streaming=True)
+        (s_init, s_step), fc_s = build_jax_pipeline(
+            "bfloat16", streaming=True, vae_kwargs=vae_kwargs)
         state = s_init(frames[:1])
         new_frame = frames[:1, -1]
         state, out_s = s_step(fc_s, state, new_frame)   # compile + warm
-        jax.block_until_ready(out_s)
+        np.asarray(out_s[(0,) * out_s.ndim])
         ticks = []
-        for _ in range(20):
+        for _ in range(n_rep):
             t0 = _t.time()
             state, out_s = s_step(fc_s, state, new_frame)
-            jax.block_until_ready(out_s)
+            np.asarray(out_s[(0,) * out_s.ndim])
             ticks.append(_t.time() - t0)
-        lat_stream_ms = sorted(ticks)[len(ticks) // 2] * 1000
+        return float(np.median(ticks)) * 1000
+
+    log("compiling streaming (sliding-latent-window) tick ...")
+    lat_stream_ms = None
+    try:
+        lat_stream_ms = _stream_tick()
         log(f"streaming tick (B=1): {lat_stream_ms:.1f} ms"
             + ("" if lat_ms is None else
                f" (full re-encode rollout: {lat_ms:.1f} ms)"))
@@ -377,21 +415,7 @@ def bench_jax():
     # in the DECODER either
     lat_stream_fast_ms = None
     try:
-        import time as _t
-
-        (sf_init, sf_step), fc_sf = build_jax_pipeline(
-            "bfloat16", streaming=True, vae_kwargs=fast_kw)
-        st_f = sf_init(frames[:1])
-        nf = frames[:1, -1]
-        st_f, out_sf = sf_step(fc_sf, st_f, nf)
-        jax.block_until_ready(out_sf)
-        ticks = []
-        for _ in range(20):
-            t0 = _t.time()
-            st_f, out_sf = sf_step(fc_sf, st_f, nf)
-            jax.block_until_ready(out_sf)
-            ticks.append(_t.time() - t0)
-        lat_stream_fast_ms = sorted(ticks)[len(ticks) // 2] * 1000
+        lat_stream_fast_ms = _stream_tick(vae_kwargs=fast_kw)
         log(f"fast-VAE streaming tick (B=1): {lat_stream_fast_ms:.1f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"fast-VAE streaming variant failed: {type(e).__name__}: {e}")

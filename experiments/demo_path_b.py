@@ -68,6 +68,10 @@ enable_persistent_cache()
 HEADLINE = ["SSIM", "PSNR", "PSNR_ref", "CRPS", "paper_CSI_M_POOL1",
             "paper_HSS_POOL1"]
 HIGHER = {"SSIM", "PSNR", "PSNR_ref", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
+# PSNR_ref (estimated-range convention) is display-only: scoring it too
+# would double-weight the PSNR family in checkpoint selection and break
+# comparability with the round-2/3 "wins/5" protocol.
+SCORED = [k for k in HEADLINE if k != "PSNR_ref"]
 
 
 def loop(loader, epochs=10**9):
@@ -77,15 +81,15 @@ def loop(loader, epochs=10**9):
 
 
 def wins_and_score(model_m, persist_m):
-    """(#headline wins, mean signed relative margin vs persistence)."""
+    """(#scored-headline wins, mean signed relative margin vs persistence)."""
     wins, score = 0, 0.0
-    for k in HEADLINE:
+    for k in SCORED:
         m, p = float(model_m[k]), float(persist_m[k])
         margin = (m - p) / max(abs(p), 1e-9)
         if k not in HIGHER:
             margin = -margin
         wins += int(margin > 0)
-        score += margin / len(HEADLINE)
+        score += margin / len(SCORED)
     return wins, score
 
 
@@ -318,7 +322,7 @@ def main(argv=None):
                           else (model_m[k] < persist_m[k]))
                 print(f"[{tag}] {k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}"
                       f"{ceil_m[k]:>13.4f}{str(better):>9}")
-            print(f"[{tag}] wins {wins}/{len(HEADLINE)}  score {score:+.4f}",
+            print(f"[{tag}] wins {wins}/{len(SCORED)}  score {score:+.4f}",
                   flush=True)
         return wins, score, model_m, persist_m, ceil_m
 
@@ -497,8 +501,8 @@ def main(argv=None):
                                     sel_batches, verbose=False)
         w_ema, s_ema, *_ = evaluate("stage2(sel,ema)", vae_vars, fc_ema,
                                     sel_batches, verbose=False)
-        print(f"[fc] selection: raw {w_raw}/5 {s_raw:+.4f} vs "
-              f"ema {w_ema}/5 {s_ema:+.4f}", flush=True)
+        print(f"[fc] selection: raw {w_raw}/{len(SCORED)} {s_raw:+.4f} vs "
+              f"ema {w_ema}/{len(SCORED)} {s_ema:+.4f}", flush=True)
         if (w_ema, s_ema) > (w_raw, s_raw):
             print("[fc] EMA weights win selection -> carried forward")
             fc_vars = fc_ema
@@ -583,12 +587,12 @@ def main(argv=None):
                                                vae_vars, cand, sel_batches,
                                                verbose=False)
                     print(f"[e2e] step {step+1} selection({tag}) wins "
-                          f"{wins}/5 score {score:+.4f}", flush=True)
+                          f"{wins}/{len(SCORED)} score {score:+.4f}", flush=True)
                     if (wins, score) > best[:2]:
                         best = (wins, score, jax.device_get(cand), tag)
         fc_vars = jax.device_put(best[2])
         print(f"[e2e] fine-tuned {args.steps_e2e} steps in {time.time()-t0:.0f}s;"
-              f" kept {best[3]} checkpoint with selection wins {best[0]}/5 "
+              f" kept {best[3]} checkpoint with selection wins {best[0]}/{len(SCORED)} "
               f"score {best[1]:+.4f}")
 
     # ------------------------------------------ stage 3: final report
@@ -597,7 +601,7 @@ def main(argv=None):
               "batch) — numbers below are selection-biased")
     wins, score, model_m, persist_m, ceil_m = evaluate(
         "final", vae_vars, fc_vars, rep_batches)
-    print(f"\nmodel beats persistence on {wins}/{len(HEADLINE)} headline "
+    print(f"\nmodel beats persistence on {wins}/{len(SCORED)} headline "
           f"metrics (report split)")
     print("(vae-ceiling = metrics of encode->decode roundtrip of the target "
           "frames: the autoencoder's upper bound for ANY latent forecaster)")
@@ -768,7 +772,7 @@ def run_earthformer_branch(args, dm, sel_batches, rep_batches):
     print(f"\n[final] {'metric':<22}{'model':>10}{'persistence':>13}")
     for k in HEADLINE:
         print(f"[final] {k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}")
-    print(f"\nmodel beats persistence on {wins}/{len(HEADLINE)} headline "
+    print(f"\nmodel beats persistence on {wins}/{len(SCORED)} headline "
           f"metrics (report split; pixel-space, no VAE ceiling)")
     return wins
 

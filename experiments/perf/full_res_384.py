@@ -74,7 +74,9 @@ def main():
     cfg = derive_steps(cfg, len(train_loader), 1, 1)
     cfg.trainer.total_train_steps = args.steps
     if cfg.lpips.disc_start <= 1.0:
-        cfg.lpips.disc_start = int(0.25 * args.steps)
+        # fractional disc_start is a fraction of total steps (same rule as
+        # experiments/common.py), computed against the --steps override
+        cfg.lpips.disc_start = int(cfg.lpips.disc_start * args.steps)
 
     from experiments.ae_gan.train import build_task
     task = build_task(cfg, dm)
@@ -107,7 +109,11 @@ def main():
         b = next(it)
         t0 = time.time()
         state, aux = trainer._train_step(state, b)
-        jax.block_until_ready(aux)
+        # host readback, not block_until_ready: over the axon tunnel the
+        # latter can return once the remote execution is SCHEDULED, not
+        # finished (same caveat as bench.py::_time_pipeline) — a dispatch
+        # time would wildly overstate frames/s.
+        float(aux["loss"] if "loss" in aux else aux["rec_loss"])
         times.append(time.time() - t0)
         if i in (2, args.steps // 2, args.steps - 1):
             m = device_memory_stats()

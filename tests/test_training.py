@@ -76,6 +76,34 @@ def test_checkpoint_roundtrip_and_corruption(tmp_path):
     np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
 
 
+def test_corruption_not_misclassified_as_template_mismatch(tmp_path, capsys):
+    """A truncated checkpoint whose restore raises ValueError AND whose
+    metadata is unreadable must be classified corrupt/unreadable — the
+    ValueError->structural promotion only applies when the on-disk metadata
+    was readable and its tree signature matched the resume template."""
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.asarray(7, np.int32)}
+    run_dir = run_dir_for(str(tmp_path), "exp", "abc")
+    mgr = CheckpointManager(run_dir)
+    mgr.save(7, state)
+    mgr.close()
+
+    import glob
+    for f in glob.glob(os.path.join(run_dir, "checkpoints", "7", "**", "*"),
+                       recursive=True):
+        if os.path.isfile(f):
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+
+    out = find_latest_ckpt(str(tmp_path), "exp", state)
+    assert out == (None, None, None)
+    printed = capsys.readouterr().out
+    assert "corrupt/unreadable" in printed
+    assert "TEMPLATE MISMATCH" not in printed
+    # no misleading structure-change warning for a genuinely corrupt file
+    assert "NONE match the resume template" not in printed
+
+
 def test_find_latest_no_ckpt(tmp_path):
     out = find_latest_ckpt(str(tmp_path), "nothing", {"a": np.zeros(1)})
     assert out == (None, None, None)

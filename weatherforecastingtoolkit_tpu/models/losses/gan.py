@@ -60,10 +60,12 @@ class NLayerDiscriminator(nn.Module):
         """x: (B, C, H, W) -> patch logits (B, 1, h', w').
 
         return_features=True additionally returns the post-activation feature
-        map of every level (NHWC) — the taps for the weight-free
-        feature-matching perceptual loss (`feature_matching_distance`), which
-        plays the role the reference's LPIPS plays in its combined loss
-        (contperceptual.py:103-106) without needing pretrained VGG weights.
+        map of every level, NCHW like every public API here — the taps for
+        the weight-free feature-matching perceptual loss
+        (`feature_matching_distance`), which plays the role the reference's
+        LPIPS plays in its combined loss (contperceptual.py:103-106) without
+        needing pretrained VGG weights. (The transpose back is free: XLA
+        folds it into the consumer's elementwise reduction.)
         """
         feats = []
         h = jnp.transpose(x, (0, 2, 3, 1))  # NHWC internally
@@ -92,7 +94,7 @@ class NLayerDiscriminator(nn.Module):
                     name="conv_out")(h)
         logits = jnp.transpose(h, (0, 3, 1, 2))
         if return_features:
-            return logits, feats
+            return logits, [jnp.transpose(f, (0, 3, 1, 2)) for f in feats]
         return logits
 
 

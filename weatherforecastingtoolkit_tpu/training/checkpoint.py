@@ -177,16 +177,22 @@ def find_latest_ckpt(experiment_path: str, experiment_name: str, target: Any,
         # corruption — by exception TYPE plus an explicit tree-structure
         # comparison against the on-disk metadata, not message substrings.
         text = f"{type(first_err).__name__}: {first_err}"
-        structural = False
+        meta_matches = None  # None == metadata unreadable -> corruption
         try:
-            structural = _tree_signature(mgr.metadata(step)) != target_sig
+            meta_matches = _tree_signature(mgr.metadata(step)) == target_sig
         except Exception:  # noqa: BLE001 — metadata unreadable == corruption
-            structural = False
-        if not structural and isinstance(first_err, (ValueError, TypeError)):
-            # same key paths but restore still refused (shape/dtype change):
-            # StandardRestore raises ValueError/TypeError for these, IO-level
-            # corruption surfaces as OSError/tensorstore errors
+            meta_matches = None
+        if meta_matches is False:
             structural = True
+        elif meta_matches and isinstance(first_err, (ValueError, TypeError)):
+            # metadata IS readable and the key paths match, yet restore still
+            # refused (shape/dtype change): StandardRestore raises ValueError/
+            # TypeError for these; IO-level corruption surfaces as OSError/
+            # tensorstore errors. When metadata itself was unreadable the
+            # ValueError promotion must NOT apply — that is corruption.
+            structural = True
+        else:
+            structural = False
         mgr.close()
         kind = "TEMPLATE MISMATCH" if structural else "corrupt/unreadable"
         print(f"[ckpt] skipping run-{run_id} step {step}: {kind} "
