@@ -130,3 +130,38 @@ def test_wait_for_backend_retries(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="UNAVAILABLE"):
         bench.wait_for_backend(max_tries=3)
+
+
+def test_calibrate_once_reuse_equivalence(monkeypatch):
+    """A precomputed calibrate_qscales tree passed as build_jax_pipeline(
+    qscales=...) must reproduce the in-line calib_frames path bit-for-bit —
+    the contract that lets experiments/perf/int8_mixed.py calibrate ONCE per
+    sweep instead of once per sweep point."""
+    import numpy as np
+
+    import bench
+    from weatherforecastingtoolkit_tpu.data.synthetic import (
+        synthetic_vil_events)
+
+    monkeypatch.setattr(bench, "BATCH", 2)
+    monkeypatch.setattr(bench, "T_IN", 4)
+    monkeypatch.setattr(bench, "T_OUT", 3)
+    monkeypatch.setattr(bench, "HW", 32)
+    monkeypatch.setattr(bench, "LATENT_C", 4)
+    monkeypatch.setattr(bench, "LATENT_HW", 8)
+    monkeypatch.setattr(bench, "VAE_CHANNELS", (8, 16))
+    monkeypatch.setattr(bench, "NORM_GROUPS", 4)
+
+    import jax
+    events = synthetic_vil_events(2, 32, 32, 4, seed=0)
+    frames = np.transpose(events, (0, 3, 1, 2))[:, :, None]
+    frames = jax.device_put(frames.astype(np.float32) / 255.0)
+
+    qs = bench.calibrate_qscales(frames)
+    pipe_a, fc_a = bench.build_jax_pipeline("float32", conv_mode="int8_static",
+                                            calib_frames=frames)
+    pipe_b, fc_b = bench.build_jax_pipeline("float32", conv_mode="int8_static",
+                                            qscales=qs)
+    out_a = np.asarray(pipe_a(fc_a, frames))
+    out_b = np.asarray(pipe_b(fc_b, frames))
+    np.testing.assert_array_equal(out_a, out_b)
