@@ -67,31 +67,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_for_backend(max_tries=8, base_delay_s=10.0):
-    """Bounded retry around JAX backend init: the axon TPU tunnel can be
-    transiently UNAVAILABLE at process start (BENCH_r03 died at
-    `jax.devices()` before any repo code ran). A failed init is cached by
-    jax, so each retry clears the backend registry first."""
-    import jax
-
-    for attempt in range(1, max_tries + 1):
-        try:
-            devs = jax.devices()
-            if attempt > 1:
-                log(f"backend came up on attempt {attempt}")
-            return devs
-        except RuntimeError as e:
-            if attempt == max_tries:
-                raise
-            delay = min(base_delay_s * 2 ** (attempt - 1), 120.0)
-            log(f"backend init attempt {attempt}/{max_tries} failed "
-                f"({str(e).splitlines()[0][:160]}); retrying in {delay:.0f}s")
-            try:
-                import jax.extend
-                jax.extend.backend.clear_backends()
-            except Exception as ce:  # noqa: BLE001 — best-effort cache clear
-                log(f"clear_backends failed: {type(ce).__name__}: {ce}")
-            time.sleep(delay)
+# Bounded retry around backend init (BENCH_r03 died at jax.devices() on a
+# tunnel flake) — shared by every TPU entry point, not just the bench.
+from weatherforecastingtoolkit_tpu.utils.backend import wait_for_backend  # noqa: E402
 
 
 def calibrate_qscales(calib_frames, vae_kwargs=None):

@@ -201,6 +201,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     blocks = tuple(int(c) for c in args.blocks.split(","))
 
+    # survive a transient axon-tunnel outage at process start (same bounded
+    # retry as bench.py — a mid-queue flake should cost a retry, not the run)
+    from weatherforecastingtoolkit_tpu.utils.backend import wait_for_backend
+    wait_for_backend()
+
     root = tempfile.mkdtemp(prefix="wx_demo_")
     raw_seq = args.t_in + args.t_out
     # the sevirlr preset assumes raw_seq_len=25; the fixture must match it

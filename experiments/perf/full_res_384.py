@@ -55,7 +55,9 @@ def main():
     from weatherforecastingtoolkit_tpu.training.trainer import (Trainer,
                                                                 derive_steps)
 
-    print(f"devices: {jax.devices()}", flush=True)
+    from weatherforecastingtoolkit_tpu.utils.backend import wait_for_backend
+
+    print(f"devices: {wait_for_backend()}", flush=True)
     cfg_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "vae_sevir384", "config.yaml")
 

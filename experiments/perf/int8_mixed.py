@@ -78,7 +78,9 @@ def main():
         synthetic_vil_events)
     from weatherforecastingtoolkit_tpu.ops.ssim import ssim
 
-    print(f"devices: {jax.devices()}", flush=True)
+    from weatherforecastingtoolkit_tpu.utils.backend import wait_for_backend
+
+    print(f"devices: {wait_for_backend()}", flush=True)
     print(f"arch: {'fast (pixel_unshuffle=4)' if args.fast else 'reference'}"
           f" shape, batch {batch}", flush=True)
     events = synthetic_vil_events(batch, bench.HW, bench.HW,

@@ -113,8 +113,10 @@ def test_wait_for_backend_retries(monkeypatch):
                                "UNAVAILABLE")
         return ["fake-tpu"]
 
+    from weatherforecastingtoolkit_tpu.utils import backend as _backend
+
     monkeypatch.setattr(jax, "devices", fake_devices)
-    monkeypatch.setattr(bench.time, "sleep",
+    monkeypatch.setattr(_backend.time, "sleep",
                         lambda s: calls["sleeps"].append(s))
     import jax.extend
     monkeypatch.setattr(jax.extend.backend, "clear_backends",
