@@ -119,8 +119,24 @@ def main():
     damage.sort()
 
     # ---- stage 4: greedy mix, least-damage first ----------------------------
+    # While `chosen` is empty each greedy trial is a SINGLE family — stage 3
+    # already measured those, so reuse its SSIMs (saves one recompile per
+    # family; if no single family passes the gate, no superset will either
+    # and the whole greedy stage is skipped as a measured negative).
     chosen, s_mix = [], None
+    for d, fam in damage:
+        s = 1.0 - d
+        ok = s > GATE
+        print(f"  mix+{fam:<27} SSIM {s:.5f} "
+              f"{'PASS' if ok else 'FAIL'} (stage-3 reuse)", flush=True)
+        if ok:
+            chosen, s_mix = [fam], s
+            break
     for _d, fam in damage:
+        if not chosen:
+            break
+        if fam in chosen:
+            continue
         trial = chosen + [fam]
         spec = tuple((f + "*", "int8_static") for f in trial) + \
             (("*", "native"),)
