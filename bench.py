@@ -613,7 +613,9 @@ def get_baseline_fps():
 
 
 def main():
-    wait_for_backend()
+    # The driver's end-of-round bench is the round's perf evidence; ride out
+    # tunnel outages on wall-clock, not attempt count (override: WX_BACKEND_WAIT_S).
+    wait_for_backend(deadline_s=float(os.environ.get("WX_BACKEND_WAIT_S", "2700")))
     fps, mfu, bwu, extra = bench_jax()
     try:
         (train_sps, train_sps_bf16, train_mfu32, train_mfu16,

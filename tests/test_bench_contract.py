@@ -134,6 +134,45 @@ def test_wait_for_backend_retries(monkeypatch):
         bench.wait_for_backend(max_tries=3)
 
 
+def test_wait_for_backend_deadline(monkeypatch):
+    """deadline_s retries on wall-clock, not attempt count: outlives the
+    default max_tries while the clock is inside the deadline, raises once
+    elapsed time crosses it (axon outages run minutes-to-hours, so the
+    driver's bench waits on time, not tries)."""
+    import jax
+
+    from weatherforecastingtoolkit_tpu.utils import backend as _backend
+
+    calls = {"n": 0}
+    clock = {"t": 0.0}
+
+    def fake_devices():
+        calls["n"] += 1
+        if calls["n"] == 12:  # > default max_tries=8
+            return ["fake-tpu"]
+        raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    monkeypatch.setattr(_backend.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(_backend.time, "sleep",
+                        lambda s: clock.__setitem__("t", clock["t"] + s))
+    import jax.extend
+    monkeypatch.setattr(jax.extend.backend, "clear_backends", lambda: None)
+
+    # 11 failures sleep 10+20+40+80+120*7 = 990s < 2700 -> success on 12th
+    assert _backend.wait_for_backend(deadline_s=2700.0) == ["fake-tpu"]
+    assert calls["n"] == 12
+
+    # a short deadline raises as soon as elapsed >= deadline_s
+    calls["n"] = -10 ** 9
+    clock["t"] = 0.0
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        _backend.wait_for_backend(deadline_s=25.0)
+    # 10s + 20s sleeps cross the 25s deadline -> third failure raises
+    assert calls["n"] == -10 ** 9 + 3
+
+
 def test_calibrate_once_reuse_equivalence(monkeypatch):
     """A precomputed calibrate_qscales tree passed as build_jax_pipeline(
     qscales=...) must reproduce the in-line calib_frames path bit-for-bit —
