@@ -162,7 +162,9 @@ def make_vae_gan_task(
             b = jnp.repeat(frames, 3, axis=1) if frames.shape[1] == 1 else frames
             # (B,1,1,1) broadcast onto the elementwise map, as the reference
             # does before its sum-reduction (contperceptual.py:103-106)
-            rec_map = rec_map + perceptual_weight * perceptual_apply(a, b)
+            p = perceptual_apply(a, b)
+            aux["p_loss"] = jnp.mean(p)
+            rec_map = rec_map + perceptual_weight * p
         if use_fm and disc_params is not None:
             # weight-free perceptual term: L1 over the discriminator's own
             # intermediate features of recon vs target, occupying the same
