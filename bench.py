@@ -515,6 +515,36 @@ def bench_train():
     return sps32, sps16, mfu32, mfu16, sweep
 
 
+def bench_fast_vae_train():
+    """Fast-VAE (pixel-unshuffle) GAN training throughput — the deployment
+    TRAINING story (the serving redesign deletes the full-res activation
+    traffic that binds the reference-shape step; see RESULTS.md round 3).
+    One bf16 point at B=16x4, the demonstrated 3.3x regime."""
+    import jax
+
+    from experiments.perf.fast_vae_train import FAST_SHAPE, build_step
+
+    B, T = 16, 4
+    step, state, _n = build_step(FAST_SHAPE, mixed=True)
+    batch = {"vil": jax.device_put(np.random.default_rng(0).random(
+        (B, T, 1, HW, HW), np.float32))}
+    t0 = time.time()
+    state, aux = step(state, batch)
+    jax.block_until_ready(state.params)
+    log(f"fast-VAE train step (bf16 B={B}x{T}) compiled in {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        state, aux = step(state, batch)
+        float(aux["loss"])  # host readback: the only reliable sync on axon
+        times.append(time.time() - t0)
+    t_step = float(np.median(times))
+    sps = 1.0 / t_step
+    log(f"fast-VAE train bf16 B={B}x{T}: {t_step*1000:.1f} ms/step -> "
+        f"{sps:.2f} steps/s ({sps*B*T:.1f} frames/s)")
+    return sps
+
+
 def bench_torch_reference():
     """Reference pipeline (torch CPU): per-frame encode loop -> DLinear ->
     per-frame decode loop, structured exactly like ae_s2/train.py."""
@@ -631,6 +661,10 @@ def main():
     if train_mfu16 is not None:
         extra["gan_train_mfu_bf16"] = round(train_mfu16, 4)
     extra.update(train_sweep)
+    try:
+        extra["fast_vae_train_steps_per_sec"] = round(bench_fast_vae_train(), 2)
+    except Exception as e:  # noqa: BLE001 — keep the headline JSON line alive
+        log(f"fast-VAE train bench failed: {type(e).__name__}: {e}")
     baseline = get_baseline_fps()
     out = {
         "metric": "sevirlr_12step_rollout_frames_per_sec",

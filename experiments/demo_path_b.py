@@ -32,6 +32,12 @@ Runs hermetically on CPU (WX_PLATFORM=cpu) or TPU. Writes RESULTS snippet to
 stdout.
 
     python experiments/demo_path_b.py [--steps-ae 300 --steps-fc 300 ...]
+
+FLAG FREEZE (round 5): the demo's CLI surface is frozen. New capabilities
+land as library APIs (weatherforecastingtoolkit_tpu/evaluation.py,
+models/rollout.py) or experiment configs, not as demo flags — the eval
+protocol (wins/score, ceiling fractions, one-jit stage-boundary evaluation)
+already lives in evaluation.py and is unit-tested there.
 """
 
 from __future__ import annotations
@@ -63,34 +69,18 @@ from weatherforecastingtoolkit_tpu.models.rollout import persistence_baseline  #
 from weatherforecastingtoolkit_tpu.models.vae.autoencoder_kl import AutoencoderKL  # noqa: E402
 from weatherforecastingtoolkit_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
-enable_persistent_cache()
+from weatherforecastingtoolkit_tpu.evaluation import (HEADLINE, HIGHER,  # noqa: E402
+                                                      SCORED,
+                                                      evaluate_protocol,
+                                                      wins_and_score)
 
-HEADLINE = ["SSIM", "PSNR", "PSNR_ref", "CRPS", "paper_CSI_M_POOL1",
-            "paper_HSS_POOL1"]
-HIGHER = {"SSIM", "PSNR", "PSNR_ref", "paper_CSI_M_POOL1", "paper_HSS_POOL1"}
-# PSNR_ref (estimated-range convention) is display-only: scoring it too
-# would double-weight the PSNR family in checkpoint selection and break
-# comparability with the round-2/3 "wins/5" protocol.
-SCORED = [k for k in HEADLINE if k != "PSNR_ref"]
+enable_persistent_cache()
 
 
 def loop(loader, epochs=10**9):
     for _ in range(epochs):
         for batch in device_prefetch(loader):
             yield batch
-
-
-def wins_and_score(model_m, persist_m):
-    """(#scored-headline wins, mean signed relative margin vs persistence)."""
-    wins, score = 0, 0.0
-    for k in SCORED:
-        m, p = float(model_m[k]), float(persist_m[k])
-        margin = (m - p) / max(abs(p), 1e-9)
-        if k not in HIGHER:
-            margin = -margin
-        wins += int(margin > 0)
-        score += margin / len(SCORED)
-    return wins, score
 
 
 def save_forecast_panel(path, target, pred, persist, sample=0):
@@ -288,10 +278,11 @@ def main(argv=None):
         return 1.0 - jnp.mean(tp / (tp + fn + fp + 1.0))
 
     # -------------------------------------------- stage-boundary evaluation
-    # one jitted program parameterized by (vae_vars, fc_vars): model rollout,
-    # persistence, and the VAE roundtrip ceiling — no retraces across stages
-    @jax.jit
-    def _eval_batch(vv, fv, seq):
+    # evaluation.evaluate_protocol runs rollout + persistence + roundtrip
+    # ceiling in ONE jitted program with (vae_vars, fc_vars) traced — no
+    # retraces across training stages
+    def _eval_fn(p, seq):
+        vv, fv = p
         frames_in = seq[:, :args.t_in]
         target = seq[:, args.t_in:args.t_in + args.t_out]
         b = frames_in.shape[0]
@@ -304,32 +295,25 @@ def main(argv=None):
                                          lat_hw, lat_hw)),
                          method=vae.decode).reshape(target.shape)
         persist = persistence_baseline(frames_in, args.t_out)
+        return pred, target, persist
+
+    def _roundtrip(p, target):
+        vv = p[0]
         flat_t = target.reshape((-1,) + target.shape[2:])
-        rec = vae.apply(vv, vae.apply(vv, flat_t, method=vae.encode).mode(),
-                        method=vae.decode).reshape(target.shape)
-        return pred, persist, rec, target
+        return vae.apply(vv, vae.apply(vv, flat_t, method=vae.encode).mode(),
+                         method=vae.decode).reshape(target.shape)
 
     def evaluate(tag, vv, fv, batches, verbose=True):
-        sums = [dict(), dict(), dict()]
-        for seq in batches:
-            pred, persist, rec, target = _eval_batch(vv, fv, seq)
-            for store, out in zip(sums, (pred, persist, rec)):
-                for k, v in calc_metrics(out, target).items():
-                    store[k] = store.get(k, 0.0) + float(v)
-        model_m, persist_m, ceil_m = [
-            {k: v / len(batches) for k, v in s.items()} for s in sums]
-        wins, score = wins_and_score(model_m, persist_m)
+        report = evaluate_protocol(_eval_fn, (vv, fv), batches,
+                                   roundtrip_fn=_roundtrip,
+                                   calc_metrics=calc_metrics)
         if verbose:
-            print(f"\n[{tag}] {'metric':<22}{'model':>10}{'persistence':>13}"
-                  f"{'vae-ceiling':>13}{'better?':>9}")
-            for k in HEADLINE:
-                better = ((model_m[k] > persist_m[k]) if k in HIGHER
-                          else (model_m[k] < persist_m[k]))
-                print(f"[{tag}] {k:<22}{model_m[k]:>10.4f}{persist_m[k]:>13.4f}"
-                      f"{ceil_m[k]:>13.4f}{str(better):>9}")
-            print(f"[{tag}] wins {wins}/{len(SCORED)}  score {score:+.4f}",
-                  flush=True)
-        return wins, score, model_m, persist_m, ceil_m
+            print("\n" + report.format_table(tag))
+            fracs = report.ceiling_fractions()
+            print(f"[{tag}] ceiling fractions: " + "  ".join(
+                f"{k}={v:.1%}" for k, v in fracs.items()), flush=True)
+        return (report.wins, report.score, report.model, report.persistence,
+                report.ceiling)
 
     # -------------------------------------------------- stage 1: train the VAE
     warm_ae = max(1, min(30, args.steps_ae // 10))
@@ -612,8 +596,8 @@ def main(argv=None):
           "frames: the autoencoder's upper bound for ANY latent forecaster)")
 
     if args.save_panel:
-        pred, persist, _, target = _eval_batch(vae_vars, fc_vars,
-                                               rep_batches[0])
+        pred, target, persist = jax.jit(_eval_fn)((vae_vars, fc_vars),
+                                                  rep_batches[0])
         save_forecast_panel(args.save_panel, np.asarray(target),
                             np.asarray(pred), np.asarray(persist))
         print(f"[final] forecast panel written to {args.save_panel}")

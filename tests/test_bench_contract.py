@@ -56,6 +56,7 @@ def small_train():
     return 1.0, 2.0, 0.5, 0.6, {{"gan_train_bf16_steps_per_sec_b8": 3.0}}
 
 bench.bench_train = small_train
+bench.bench_fast_vae_train = lambda: 4.0
 bench.main()
 """
 
@@ -85,6 +86,7 @@ def test_bench_json_contract(tmp_path):
     assert payload["gan_train_mfu_fp32"] == 0.5
     assert payload["gan_train_mfu_bf16"] == 0.6
     assert payload["gan_train_bf16_steps_per_sec_b8"] == 3.0
+    assert payload["fast_vae_train_steps_per_sec"] == 4.0
     assert "int8_frames_per_sec" in payload and "int8_ssim_vs_fp32" in payload
     assert "autoregressive_frames_per_sec" in payload
     assert "autoregressive_ssim_vs_oneshot" in payload
