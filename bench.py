@@ -44,6 +44,12 @@ FAST_BATCH = 256  # the fast VAE's throughput-optimal batch (no full-res
 # a sweep computed for a different architecture than the one bench serves
 # would be silently wrong
 FAST_VAE_KW = dict(pixel_unshuffle=4, block_out_channels=(128, 256, 512))
+# The measured winner of the per-layer int8/bf16 sweep on the fast VAE
+# (experiments/perf/int8_mixed.py --fast, RESULTS.md round 5): exactly one
+# conv family fits under the 0.995 self-gate (SSIM 0.99510) and buys +4.4%
+# fps over bf16. Applies to FAST_VAE_KW only — on the reference shape the
+# sweep is a measured negative (6e-5 of gate headroom; no family fits).
+INT8_MIXED_SPEC = (("encoder/mid_block*", "int8_static"), ("*", "native"))
 T_IN, T_OUT = 13, 12
 HW = 128
 LATENT_C, LATENT_HW = 64, 8
@@ -337,6 +343,27 @@ def bench_jax():
         log(f"fast-VAE variant failed: {type(e).__name__}: {e}")
         fps_fast = s_fast = None
 
+    # fast-VAE x mixed int8: the sweep's measured winner (INT8_MIXED_SPEC),
+    # gated against the fast VAE's own fp32 like the bf16 recipe above
+    fps_mix = s_mix = None
+    if fps_fast is not None:
+        log("compiling fast-VAE int8-mixed variant (INT8_MIXED_SPEC) ...")
+        try:
+            pipe_m, fc_m = build_jax_pipeline(
+                "bfloat16", conv_mode=INT8_MIXED_SPEC,
+                calib_frames=fast_frames, vae_kwargs=fast_kw)
+            t_m, c_m, out_m = _time_pipeline(pipe_m, fc_m, fast_frames)
+            fps_mix = FAST_BATCH * T_OUT / t_m
+            s_mix = float(_ssim(np.asarray(out_f32).reshape(-1, 1, HW, HW),
+                                np.asarray(out_m).reshape(-1, 1, HW, HW)))
+            log(f"fast-VAE int8-mixed: compile {c_m:.1f}s, median "
+                f"{t_m*1000:.1f} ms -> {fps_mix:.1f} frames/s, "
+                f"SSIM vs own fp32 {s_mix:.5f} "
+                f"(gate {'PASS' if s_mix > 0.995 else 'FAIL'})")
+        except Exception as e:  # noqa: BLE001
+            log(f"fast-VAE int8-mixed variant failed: {type(e).__name__}: {e}")
+            fps_mix = s_mix = None
+
     # single-event serving latency (B=1): the real-time nowcasting number —
     # one 12-frame forecast from 13 input frames, end to end on chip
     log("compiling B=1 latency variants ...")
@@ -410,6 +437,10 @@ def bench_jax():
                                     if fps_fast is not None else None),
         "fast_vae_ssim_vs_own_fp32": (round(s_fast, 5)
                                       if s_fast is not None else None),
+        "int8_mixed_frames_per_sec": (round(fps_mix, 2)
+                                      if fps_mix is not None else None),
+        "int8_mixed_ssim_vs_fp32": (round(s_mix, 5)
+                                    if s_mix is not None else None),
         "latency_ms_b1": round(lat_ms, 2) if lat_ms is not None else None,
         "fast_vae_latency_ms_b1": (round(lat_fast_ms, 2)
                                    if lat_fast_ms is not None else None),

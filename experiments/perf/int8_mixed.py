@@ -18,8 +18,20 @@ Protocol (single chip, ~30 min):
      measure SSIM; keep the largest set that still passes > 0.995.
   5. measure the winning mix's fps vs bf16 fps (both at BATCH).
 
-Prints a table + the winning spec as a python literal (paste into bench.py's
-INT8_MIXED_SPEC when it changes).
+Prints a table + the winning spec as a python literal.
+
+MEASURED VERDICTS (round 5, one v5e chip; full tables in RESULTS.md):
+  * reference shape: NEGATIVE — no single conv family quantizes under the
+    0.995 gate (best: encoder/down_blocks_4 at 0.99249 vs the bf16 base's
+    0.99506, which leaves only 6e-5 of headroom), so no mixed policy can
+    pass and the greedy stage short-circuits. int8_static remains the
+    task-tier throughput path there, bf16 the gated headline.
+  * --fast (pixel_unshuffle=4 deployment VAE): POSITIVE — bf16 self-gates
+    at 0.99753, encoder/mid_block alone fits (0.99510 PASS), every pair
+    fails; the winning mix serves 11,413 fps vs bf16's 10,932 (+4.4%).
+    That spec ships as bench.py::INT8_MIXED_SPEC and is re-measured by the
+    bench JSON contract every round.
+Re-run this sweep only if the serving architecture or the gate changes.
 
 Usage: python experiments/perf/int8_mixed.py [--fast] [--batch N]
 --fast sweeps the pixel-unshuffle fast VAE instead (3 blocks; gated against

@@ -92,6 +92,8 @@ def test_bench_json_contract(tmp_path):
     assert "autoregressive_ssim_vs_oneshot" in payload
     assert "fast_vae_frames_per_sec" in payload
     assert "fast_vae_ssim_vs_own_fp32" in payload
+    assert "int8_mixed_frames_per_sec" in payload
+    assert "int8_mixed_ssim_vs_fp32" in payload
     assert "latency_ms_b1" in payload
     assert "fast_vae_latency_ms_b1" in payload
     assert "streaming_tick_ms_b1" in payload
