@@ -23,3 +23,47 @@ __version__ = "0.1.0"
 # (models, training, data) are imported lazily by users to keep import cheap.
 from .metrics import calc_metrics  # noqa: E402,F401
 from .utils.config import Config  # noqa: E402,F401
+
+# Lazy top-level aliases for the symbols a reference user reaches for first
+# (docs/api.md is the full surface). PEP 562: resolved on first attribute
+# access, so `import weatherforecastingtoolkit_tpu` stays cheap.
+_LAZY = {
+    "SEVIRDataModule": ".data.datamodule",
+    "SEVIRDataset": ".data.dataset",
+    "PosAwareAE": ".models.conv_ae",
+    "AutoencoderKL": ".models.vae.autoencoder_kl",
+    "CustomAutoencoderKL": ".models.vae.custom_akl",
+    "ViTAE": ".models.vit_ae",
+    "DLinear": ".models.forecasters",
+    "Earthformer": ".models.earthformer",
+    "AlphaPre": ".models.alphapre",
+    "make_forecast_pipeline": ".models.rollout",
+    "make_ensemble_pipeline": ".models.rollout",
+    "make_streaming_forecaster": ".models.rollout",
+    "persistence_baseline": ".models.rollout",
+    "Trainer": ".training.trainer",
+    "reconstruction_task": ".training.tasks",
+    "latent_forecast_task": ".training.tasks",
+    "make_vae_gan_task": ".training.gan",
+    "CheckpointManager": ".training.checkpoint",
+    "build_optimizer": ".training.trainer",
+    "evaluate_protocol": ".evaluation",
+    "EvalReport": ".evaluation",
+    "make_mesh": ".parallel.mesh",
+    "make_dp_serving_fn": ".parallel.serving",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module = importlib.import_module(_LAZY[name], __name__)
+        value = getattr(module, name)
+        globals()[name] = value  # cache: next access skips __getattr__
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
